@@ -1,0 +1,108 @@
+"""Static (trace-time) configuration for the TPU crowd simulator.
+
+The reference simulator (rmf_crowdsim/src/lib.rs:69-91) stores agents in a
+``HashMap<AgentId, Agent>`` and is generic over a ``SpatialIndex`` trait.  A
+TPU-native design needs *static shapes*: agent state lives in fixed-capacity
+structure-of-arrays selected by an alive-mask, and everything that controls
+array shapes or compiled control flow lives here, in hashable frozen
+dataclasses that the jitted ``step`` closes over.
+
+Everything that changes *values* at runtime (positions, rates, waypoints,
+route tables, ...) lives in :mod:`rmf_crowdsim_tpu.core.params` pytrees
+instead, so runtime changes do not retrace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# Neighbor backend names.
+BACKEND_BRUTE = "brute"
+BACKEND_GRID = "grid"
+BACKEND_GRID_PALLAS = "grid_pallas"
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Uniform-grid spatial index configuration.
+
+    Mirrors the constructor of the reference's dense grid hash
+    (location_hash_2d.rs:33-51): a ``width`` x ``height`` world split into
+    square cells of ``cell_size``, with ``offset`` at the corner of cell
+    (0, 0).  Unlike the reference — which computes its flat cell index with
+    the *width* as the row stride (location_hash_2d.rs:59), correct only for
+    square grids — we use the proper y-cell-count stride.
+    """
+
+    width: float
+    height: float
+    cell_size: float
+    offset: Tuple[float, float]
+
+    @property
+    def nx(self) -> int:
+        return int(self.width / self.cell_size)
+
+    @property
+    def ny(self) -> int:
+        return int(self.height / self.cell_size)
+
+    @property
+    def n_cells(self) -> int:
+        return self.nx * self.ny
+
+    def window_radius(self, max_radius: float) -> int:
+        """Number of cells on each side of an agent's cell that a radius
+        query of ``max_radius`` can touch (reference scans the same bound,
+        location_hash_2d.rs:103-122, 240-258)."""
+        return max(1, int(math.ceil(max_radius / self.cell_size)))
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Top-level static configuration of a simulation.
+
+    ``capacity`` replaces the reference's unbounded HashMap (lib.rs:71): the
+    maximum number of simultaneously-alive agents.  ``max_sources`` pads the
+    SourceSink registry (lib.rs:73) to a static size.
+    """
+
+    capacity: int
+    grid: Optional[GridConfig] = None
+    neighbor_backend: str = BACKEND_BRUTE
+    # Max candidate neighbors gathered per grid cell in the window.  Cells
+    # holding more agents than this silently truncate (reported through
+    # diagnostics.max_cell_occupancy); the reference's HashSet-per-cell is
+    # unbounded (location_hash_2d.rs:15).
+    max_per_cell: int = 8
+    # Upper bound on any agent's eyesight range, used to size the static
+    # cell window for the grid backend.
+    max_eyesight: float = 0.0
+    # Hard-coded spawn-clearance radius around a source, from lib.rs:214.
+    spawn_clearance: float = 0.4
+    # Compute dtype for positions/velocities.  float32 on TPU; float64 (on
+    # CPU with jax_enable_x64) for reference-matching runs.
+    dtype: str = "float32"
+    # Whether the step commits each agent's fresh preferred velocity back to
+    # state.  False replicates the reference quirk where preferred_vel is
+    # written on a per-agent clone (lib.rs:271) but never committed
+    # (lib.rs:354-357), so neighbors forever observe the spawn value.
+    commit_preferred_vel: bool = False
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def __post_init__(self):
+        if self.neighbor_backend not in (
+            BACKEND_BRUTE,
+            BACKEND_GRID,
+            BACKEND_GRID_PALLAS,
+        ):
+            raise ValueError(f"unknown neighbor backend {self.neighbor_backend!r}")
+        if self.neighbor_backend != BACKEND_BRUTE and self.grid is None:
+            raise ValueError("grid backends require a GridConfig")

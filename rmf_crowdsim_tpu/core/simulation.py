@@ -1,0 +1,349 @@
+"""Host-side simulation session: the public API mirroring the reference's
+``Simulation<T: SpatialIndex>`` (lib.rs:69-192).
+
+The host object owns planner/source/listener registries and the device
+``SimState``; each ``step(dt)`` invokes the compiled step function
+(core/step.py) and — only when listeners are registered — pulls the event
+masks back to dispatch ``EventListener`` callbacks, the reference's
+observability surface (lib.rs:22-33, readme.md:27-28).
+
+Method correspondence:
+
+====================================  ==================================
+reference (lib.rs)                     here
+====================================  ==================================
+``Simulation::new``        :103       ``Simulation(config)``
+``add_agents``             :119       ``add_agents``
+``add_source_sink``        :159       ``add_source_sink``
+``remove_source_sink``     :164       ``remove_source_sink``
+``add_event_listener``     :171       ``add_event_listener``
+``remove_agents``          :176       ``remove_agents``
+``step``                   :195       ``step``
+``agents`` (public map)    :71        ``agents`` property / ``num_agents``
+====================================  ==================================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.source_sink import SourceSink, stack_source_params
+from ..utils.registry import Registry
+from .config import SimConfig
+from .state import SimState, make_state
+from .step import SimParams, build_step
+
+
+class EventListener:
+    """Observer API (lib.rs:22-33).  Subclass and override; all hooks are
+    optional (the reference gives ``waypoint_reached`` a default no-op)."""
+
+    def agent_spawned(self, position, agent_id: int) -> None:
+        pass
+
+    def agent_destroyed(self, agent_id: int) -> None:
+        pass
+
+    def waypoint_reached(self, position, agent_id: int) -> None:
+        pass
+
+
+@dataclasses.dataclass
+class AgentView:
+    """Host-side snapshot of one agent — the reference ``Agent`` struct
+    (lib.rs:47-65) minus the dead ``orientation``/``angular_vel`` fields."""
+
+    agent_id: int
+    position: Tuple[float, float]
+    velocity: Tuple[float, float]
+    preferred_vel: Tuple[float, float]
+    next_waypoint: int
+    eyesight_range: float
+
+
+class Simulation:
+    def __init__(self, config: SimConfig, seed: int = 0):
+        self.config = config
+        self.state: SimState = make_state(config, seed)
+        self._hl_planners: List[object] = []
+        self._lp_planners: List[object] = []
+        self._sources: List[SourceSink] = []
+        self._source_registry: Registry[SourceSink] = Registry()
+        self._event_listeners: Registry[EventListener] = Registry()
+        self._params: Optional[SimParams] = None
+        self._step_fn = None
+        self._dirty = True
+
+    # -- planner registry ---------------------------------------------------
+
+    def _planner_index(self, registry: List[object], planner: object) -> int:
+        for i, p in enumerate(registry):
+            if p is planner:
+                return i
+        registry.append(planner)
+        self._dirty = True
+        return len(registry) - 1
+
+    # -- public API ----------------------------------------------------------
+
+    def add_agents(
+        self,
+        spawn_positions: Sequence[Tuple[float, float]],
+        high_level_planner,
+        local_planner,
+        agent_eyesight_range: float,
+    ) -> List[int]:
+        """Spawn a group of agents sharing the same planners (lib.rs:119-156).
+        Returns their (monotonic, never reused) agent ids.  Fires
+        ``agent_spawned`` synchronously per agent, as the reference does
+        (lib.rs:151-153)."""
+        hl = self._planner_index(self._hl_planners, high_level_planner)
+        lp = self._planner_index(self._lp_planners, local_planner)
+        st = self.state
+        f = self.config.jdtype
+        alive = np.asarray(st.alive)
+        free = np.flatnonzero(~alive)
+        if len(free) < len(spawn_positions):
+            raise ValueError(
+                f"capacity exceeded: {len(spawn_positions)} spawns, "
+                f"{len(free)} free slots of {self.config.capacity}"
+            )
+        slots = jnp.asarray(free[: len(spawn_positions)], jnp.int32)
+        pos = jnp.asarray(spawn_positions, f)
+        next_uid = int(st.next_uid)
+        uids = jnp.arange(next_uid, next_uid + len(slots), dtype=jnp.int32)
+        n_new = len(slots)
+        zero2 = jnp.zeros((n_new, 2), f)
+        self.state = st.replace(
+            position=st.position.at[slots].set(pos),
+            velocity=st.velocity.at[slots].set(zero2),
+            preferred_vel=st.preferred_vel.at[slots].set(zero2),
+            next_waypoint=st.next_waypoint.at[slots].set(jnp.int32(0)),
+            eyesight=st.eyesight.at[slots].set(jnp.asarray(agent_eyesight_range, f)),
+            alive=st.alive.at[slots].set(True),
+            uid=st.uid.at[slots].set(uids),
+            source_id=st.source_id.at[slots].set(jnp.int32(-1)),
+            hl_idx=st.hl_idx.at[slots].set(jnp.int32(hl)),
+            lp_idx=st.lp_idx.at[slots].set(jnp.int32(lp)),
+            route_id=st.route_id.at[slots].set(jnp.int32(-1)),
+            route_wp=st.route_wp.at[slots].set(jnp.int32(0)),
+            priority=st.priority.at[slots].set(uids.astype(f)),
+            next_uid=jnp.asarray(next_uid + n_new, jnp.int32),
+        )
+        uid_list = [int(u) for u in np.asarray(uids)]
+        for p, u in zip(spawn_positions, uid_list):
+            for listener in self._event_listeners.values():
+                listener.agent_spawned(tuple(p), u)
+        return uid_list
+
+    def add_source_sink(self, source_sink: SourceSink) -> int:
+        """Register a SourceSink (lib.rs:159-161); its planners join the
+        planner registries."""
+        self._planner_index(self._hl_planners, source_sink.high_level_planner)
+        self._planner_index(self._lp_planners, source_sink.local_planner)
+        self._sources.append(source_sink)
+        self._dirty = True
+        return self._source_registry.add_new_item(source_sink)
+
+    def remove_source_sink(self, source_id: int) -> None:
+        """Deactivate a SourceSink (lib.rs:164-168 — like the reference,
+        already-spawned agents are NOT removed; reference TODO at
+        lib.rs:165-166).  The slot stays in the stacked table (inactive) so
+        existing agents keep their waypoint bookkeeping."""
+        ss = self._source_registry.registry.get(source_id)
+        self._source_registry.remove(source_id)
+        if ss is None:
+            return
+        idx = self._sources.index(ss)
+        self._inactive_sources = getattr(self, "_inactive_sources", set())
+        self._inactive_sources.add(idx)
+        if self._params is not None and self._params.sources is not None:
+            sp = self._params.sources
+            self._params = SimParams(
+                hl=self._params.hl,
+                lp=self._params.lp,
+                sources=sp.replace(active=sp.active.at[idx].set(False)),
+            )
+
+    def add_event_listener(self, listener: EventListener) -> int:
+        return self._event_listeners.add_new_item(listener)
+
+    def remove_event_listener(self, listener_id: int) -> None:
+        self._event_listeners.remove(listener_id)
+
+    def remove_agents(self, agent_id: int) -> None:
+        """Despawn one agent by id (lib.rs:176-192); fires
+        ``agent_destroyed``.  Unlike the reference — which panics on an
+        unknown id via direct map indexing (lib.rs:177-184) — unknown ids
+        raise KeyError."""
+        slot = self._slot_of(agent_id)
+        self.state = self.state.replace(
+            alive=self.state.alive.at[slot].set(False)
+        )
+        for listener in self._event_listeners.values():
+            listener.agent_destroyed(agent_id)
+
+    def set_priority(self, agent_id: int, priority: float) -> None:
+        """Override an agent's Zanlungo right-of-way priority — the
+        reference's ``agent_priorities`` map (zanlungo.rs:17, defaulting to
+        the agent id)."""
+        slot = self._slot_of(agent_id)
+        self.state = self.state.replace(
+            priority=self.state.priority.at[slot].set(priority)
+        )
+
+    def set_target(self, agent_id: int, point: Tuple[float, float],
+                   tolerance: Tuple[float, float] = (0.0, 0.0)) -> None:
+        """Route an agent toward ``point`` via its high-level planner — the
+        user-facing half of ``HighLevelPlanner::set_target``
+        (highlevel_planners.rs:12).  Only meaningful for route-following
+        planners; the planner plans (or cache-hits) on the host and the
+        agent's route_id/route_wp arrays are updated.  Tolerance is accepted
+        for API parity; the reference's RMFPlanner ignores it
+        (rmf/mod.rs:217-236)."""
+        slot = self._slot_of(agent_id)
+        hl_idx = int(np.asarray(self.state.hl_idx)[slot])
+        planner = self._hl_planners[hl_idx]
+        if not getattr(planner, "uses_routes", False):
+            return  # stub planners' set_target is a no-op (lib.rs:413-415)
+        pos = tuple(np.asarray(self.state.position)[slot])
+        route_id = planner.plan_route_cached(pos, tuple(point))
+        self._dirty = True  # route table may have grown
+        if route_id is None:
+            # Reference prints and leaves the agent planless
+            # (rmf/mod.rs:233-235).
+            return
+        self.state = self.state.replace(
+            route_id=self.state.route_id.at[slot].set(route_id),
+            route_wp=self.state.route_wp.at[slot].set(0),
+        )
+
+    # -- stepping -------------------------------------------------------------
+
+    def _rebuild(self) -> None:
+        hl_params = tuple(p.init_params() for p in self._hl_planners)
+        lp_params = tuple(p.init_params() for p in self._lp_planners)
+        sources = None
+        if self._sources:
+            hl_idx = [
+                self._planner_index(self._hl_planners, s.high_level_planner)
+                for s in self._sources
+            ]
+            lp_idx = [
+                self._planner_index(self._lp_planners, s.local_planner)
+                for s in self._sources
+            ]
+            leg_routes = []
+            for s in self._sources:
+                planner = s.high_level_planner
+                if getattr(planner, "uses_routes", False):
+                    leg_routes.append(planner.plan_source_legs(s))
+                else:
+                    leg_routes.append([-1] * len(s.waypoints))
+            # plan_source_legs may have grown route tables: refresh params
+            hl_params = tuple(p.init_params() for p in self._hl_planners)
+            sources = stack_source_params(
+                self._sources, hl_idx, lp_idx, leg_routes, self.config.jdtype
+            )
+            inactive = getattr(self, "_inactive_sources", set())
+            if inactive:
+                act = sources.active
+                for i in inactive:
+                    act = act.at[i].set(False)
+                sources = sources.replace(active=act)
+        self._params = SimParams(hl=hl_params, lp=lp_params, sources=sources)
+        self._step_fn = jax.jit(
+            build_step(self.config, self._hl_planners, self._lp_planners),
+            donate_argnums=(1,),
+        )
+        self._dirty = False
+
+    def step(self, dt: float) -> None:
+        """Run one simulation step of ``dt`` seconds (lib.rs:195-383)."""
+        if self._dirty or self._step_fn is None:
+            self._rebuild()
+        # Snapshot uids before the step: destroyed events must report the
+        # uid that died, and listeners read them after the state update.
+        want_events = len(self._event_listeners) > 0
+        self.state, events = self._step_fn(self._params, self.state, dt)
+        if want_events:
+            self._dispatch_events(events)
+        self.last_events = events
+
+    def _dispatch_events(self, events) -> None:
+        spawned, destroyed, reached, spawn_pos, destroyed_uid, wp_pos, uid = (
+            jax.device_get(
+                (
+                    events.spawned,
+                    events.destroyed,
+                    events.waypoint_reached,
+                    events.spawn_position,
+                    events.destroyed_uid,
+                    events.waypoint_position,
+                    self.state.uid,
+                )
+            )
+        )
+        # Reference ordering within a step: spawns fire during Phase A
+        # (lib.rs:151-153), waypoint hits during Phase B (lib.rs:317, dead
+        # hook fixed here), destroys during Phase D (lib.rs:189-191).
+        for slot in np.flatnonzero(spawned):
+            for listener in self._event_listeners.values():
+                listener.agent_spawned(tuple(spawn_pos[slot]), int(uid[slot]))
+        for slot in np.flatnonzero(reached):
+            for listener in self._event_listeners.values():
+                listener.waypoint_reached(tuple(wp_pos[slot]), int(uid[slot]))
+        for slot in np.flatnonzero(destroyed):
+            for listener in self._event_listeners.values():
+                listener.agent_destroyed(int(destroyed_uid[slot]))
+
+    # -- observability ---------------------------------------------------------
+
+    def _slot_of(self, agent_id: int) -> int:
+        uid = np.asarray(self.state.uid)
+        alive = np.asarray(self.state.alive)
+        hits = np.flatnonzero((uid == agent_id) & alive)
+        if len(hits) == 0:
+            raise KeyError(f"no live agent with id {agent_id}")
+        return int(hits[0])
+
+    @property
+    def num_agents(self) -> int:
+        return int(self.state.num_alive)
+
+    @property
+    def sim_time(self) -> float:
+        return float(self.state.sim_time)
+
+    @property
+    def agents(self) -> Dict[int, AgentView]:
+        """Host snapshot of all live agents, keyed by agent id — the
+        reference's public ``agents`` HashMap (lib.rs:71)."""
+        st = jax.device_get(
+            (
+                self.state.uid,
+                self.state.alive,
+                self.state.position,
+                self.state.velocity,
+                self.state.preferred_vel,
+                self.state.next_waypoint,
+                self.state.eyesight,
+            )
+        )
+        uid, alive, pos, vel, pref, nwp, eye = st
+        out = {}
+        for slot in np.flatnonzero(alive):
+            out[int(uid[slot])] = AgentView(
+                agent_id=int(uid[slot]),
+                position=tuple(pos[slot]),
+                velocity=tuple(vel[slot]),
+                preferred_vel=tuple(pref[slot]),
+                next_waypoint=int(nwp[slot]),
+                eyesight_range=float(eye[slot]),
+            )
+        return out

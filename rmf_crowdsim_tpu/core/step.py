@@ -1,0 +1,309 @@
+"""The simulation step as a single pure, jittable function.
+
+TPU-native redesign of ``Simulation::step`` (lib.rs:195-383).  One call to
+``step(params, state, dt)`` performs the reference's four phases as fused
+array ops over the fixed-capacity SoA state:
+
+  Phase A  spawn from SourceSinks        (lib.rs:199-254)
+  Phase B  planner + integration pass    (lib.rs:259-347)
+  Phase C  commit                        (lib.rs:350-359)
+  Phase D  despawn                       (lib.rs:378-380)
+
+Key deliberate divergences from the reference (see SURVEY.md §3.1):
+
+- **Fully synchronous neighbors.**  The reference iterates a HashMap in
+  unspecified order and mutates its spatial index mid-loop (lib.rs:299), so
+  dense Zanlungo results are iteration-order-dependent.  Here every
+  neighbor read comes from step-start (post-spawn) state — deterministic,
+  and the only semantics that parallelize.
+- **sim_time advances.**  The reference never increments it, so planners
+  always see t=0 (lib.rs:81,110).
+- **Out-of-grid agents flag an event** instead of erroring the whole step
+  (location_hash_2d.rs:61-63 → lib.rs:299-302).
+- **Rogue agents** (waypoint index past the end) are removed without the
+  reference's latent panic (lib.rs:310-314 still indexes past the end).
+- **waypoint_reached events actually fire** (dead hook in the reference,
+  lib.rs:32 vs lib.rs:317).
+
+Everything else — spawn-before-motion ordering, the one-spawn-per-source
+cap gated on an empty 0.4 m disc of *pre-spawn* state, new spawns moving
+within their spawn step, waypoint checks against *pre-integration*
+positions, commit-then-remove — matches the reference step for step (the
+SourceSink lifecycle test reproduces event_listeners_test.rs:64-111
+exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.source_sink import GEN_POISSON, SourceParams
+from ..ops import grid as grid_ops
+from ..ops import neighbors as nbr_ops
+from .config import BACKEND_BRUTE, BACKEND_GRID, BACKEND_GRID_PALLAS, SimConfig
+from .state import SimState, StepEvents
+
+
+@struct.dataclass
+class SimParams:
+    """Dynamic (non-retracing) simulation parameters: one params pytree per
+    registered planner, plus the stacked SourceSink table."""
+
+    hl: Tuple[Any, ...]
+    lp: Tuple[Any, ...]
+    sources: Optional[SourceParams]
+
+
+def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
+    """Phase A (lib.rs:199-254): per active source, ask its generator for a
+    count; if positive and no alive agent sits strictly within
+    ``spawn_clearance`` of the source (pre-spawn state, hard-coded 0.4 in
+    the reference, lib.rs:214), spawn exactly ONE agent at the source.
+    Surplus requested spawns are dropped (no queue; reference TODO at
+    lib.rs:209-211)."""
+    n = config.capacity
+    f = config.jdtype
+    s = sp.source.shape[0]
+
+    rt = sp.rate * jnp.asarray(dt, f)
+    # MonotonicCrowd: round half away from zero (Rust f64::round,
+    # source_sink.rs:98-99).  PoissonCrowd: Poisson(rate*dt).
+    mono = jnp.floor(rt + 0.5).astype(jnp.int32)
+    pois = jax.random.poisson(key, rt.astype(jnp.float32)).astype(jnp.int32)
+    n_requested = jnp.where(sp.gen_kind == GEN_POISSON, pois, mono)
+    n_requested = jnp.where(sp.active, n_requested, 0)
+
+    # Clearance gate against pre-spawn state: any alive agent strictly
+    # within spawn_clearance of the source blocks the spawn.
+    diff = state.position[None, :, :] - sp.source[:, None, :]  # [S, N, 2]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    blocked = jnp.any(
+        state.alive[None, :] & (dist < jnp.asarray(config.spawn_clearance, f)),
+        axis=1,
+    )
+    want = (n_requested > 0) & ~blocked
+
+    # Slot allocation: k-th spawning source takes the k-th free slot.
+    free = ~state.alive
+    n_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = jnp.sort(
+        jnp.where(free, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    )  # ascending free-slot indices, padded with n
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1  # [S]
+    can = want & (rank < n_free)
+    slot = slot_of_rank[jnp.clip(rank, 0, n - 1)]
+    # Out-of-bounds target drops the scatter for non-spawning sources.
+    tgt = jnp.where(can, slot, jnp.int32(n))
+
+    new_uid = (state.next_uid + rank).astype(jnp.int32)
+    src_idx = jnp.arange(s, dtype=jnp.int32)
+
+    def scat(arr, vals):
+        return arr.at[tgt].set(vals, mode="drop")
+
+    zero2 = jnp.zeros((s, 2), f)
+    # Route leg 0: source -> waypoints[0] (the reference's spawn-time
+    # set_target, lib.rs:242-249; -1 for non-route planners).
+    leg0 = sp.leg_route[:, 0]
+
+    state = state.replace(
+        position=scat(state.position, sp.source),
+        velocity=scat(state.velocity, zero2),
+        preferred_vel=scat(state.preferred_vel, zero2),
+        next_waypoint=scat(state.next_waypoint, jnp.zeros((s,), jnp.int32)),
+        eyesight=scat(state.eyesight, sp.eyesight),
+        alive=scat(state.alive, jnp.ones((s,), jnp.bool_)),
+        uid=scat(state.uid, new_uid),
+        source_id=scat(state.source_id, src_idx),
+        hl_idx=scat(state.hl_idx, sp.hl_idx),
+        lp_idx=scat(state.lp_idx, sp.lp_idx),
+        route_id=scat(state.route_id, leg0),
+        route_wp=scat(state.route_wp, jnp.zeros((s,), jnp.int32)),
+        # Zanlungo right-of-way priority defaults to the agent id
+        # (zanlungo.rs:94-98, 183-184).
+        priority=scat(state.priority, new_uid.astype(f)),
+        next_uid=state.next_uid + jnp.sum(can.astype(jnp.int32)),
+    )
+    spawned = jnp.zeros((n,), jnp.bool_).at[tgt].set(True, mode="drop")
+    dropped = jnp.sum(n_requested) - jnp.sum(can.astype(jnp.int32))
+    return state, spawned, dropped
+
+
+def build_step(
+    config: SimConfig,
+    hl_planners: Sequence[Any],
+    lp_planners: Sequence[Any],
+):
+    """Construct ``step(params, state, dt) -> (state, events)``.
+
+    ``hl_planners`` / ``lp_planners`` are the planner registries (static:
+    changing them retraces); agents select by ``state.hl_idx`` /
+    ``state.lp_idx``, replacing the reference's per-agent
+    ``Arc<Mutex<dyn Planner>>`` maps (lib.rs:77-79).
+    """
+    hl_planners = tuple(hl_planners)
+    lp_planners = tuple(lp_planners)
+
+    if config.neighbor_backend in (BACKEND_GRID, BACKEND_GRID_PALLAS):
+        window = config.grid.window_radius(config.max_eyesight)
+    else:
+        window = None
+
+    def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
+        if config.neighbor_backend == BACKEND_BRUTE:
+            return nbr_ops.brute_neighbors(state.position, state.eyesight, state.alive)
+        return grid_ops.grid_neighbors(
+            config.grid,
+            state.position,
+            state.eyesight,
+            state.alive,
+            window=window,
+            max_per_cell=config.max_per_cell,
+        )
+
+    def step(params: SimParams, state: SimState, dt) -> tuple[SimState, StepEvents]:
+        n = config.capacity
+        f = config.jdtype
+        dt = jnp.asarray(dt, f)
+        key, spawn_key = jax.random.split(state.rng_key)
+        state = state.replace(rng_key=key)
+
+        # ---- Phase A: spawn --------------------------------------------
+        if params.sources is not None:
+            state, spawned, spawn_dropped = _spawn_phase(
+                config, params.sources, state, dt, spawn_key
+            )
+        else:
+            spawned = jnp.zeros((n,), jnp.bool_)
+            spawn_dropped = jnp.zeros((), jnp.int32)
+
+        # ---- Phase B: planners (post-spawn, step-start state) ----------
+        # High-level pass (lib.rs:263-273): vel starts at zero; a planner
+        # returning Some sets both vel and (the clone's) preferred_vel.
+        vel = jnp.zeros((n, 2), f)
+        self_pref = state.preferred_vel
+        route_wp = state.route_wp
+        for i, planner in enumerate(hl_planners):
+            res = planner.plan(params.hl[i], state)
+            sel = state.hl_idx == jnp.int32(i)
+            use = sel & res.valid & state.alive
+            vel = jnp.where(use[:, None], res.vel, vel)
+            self_pref = jnp.where(use[:, None], res.vel, self_pref)
+            route_wp = jnp.where(sel & state.alive, res.route_wp, route_wp)
+        state = state.replace(route_wp=route_wp)
+
+        # Local pass (lib.rs:276-292): neighbor candidates from step-start
+        # state, then each local planner corrects the recommended velocity.
+        if lp_planners:
+            nbr = neighbor_table(state)
+            max_occ = nbr.max_cell_occupancy
+            for i, planner in enumerate(lp_planners):
+                v = planner.plan(params.lp[i], state, nbr, vel, self_pref)
+                sel = (state.lp_idx == jnp.int32(i)) & state.alive
+                vel = jnp.where(sel[:, None], v, vel)
+        else:
+            max_occ = jnp.zeros((), jnp.int32)
+
+        # Euler integration (lib.rs:295-297).
+        new_pos = state.position + vel * dt
+
+        # Out-of-grid flag (the reference errors the whole step instead,
+        # lib.rs:299-302).
+        if config.grid is not None:
+            _, _, in_bounds = grid_ops.cell_coords(config.grid, new_pos)
+            out_of_bounds = state.alive & ~in_bounds
+        else:
+            out_of_bounds = jnp.zeros((n,), jnp.bool_)
+
+        # ---- SourceSink waypoint bookkeeping (lib.rs:304-336) ----------
+        # All checks use the PRE-integration position (lib.rs:314 reads
+        # agent.position before the commit).
+        destroyed = jnp.zeros((n,), jnp.bool_)
+        reached = jnp.zeros((n,), jnp.bool_)
+        if params.sources is not None:
+            sp = params.sources
+            s = sp.source.shape[0]
+            w = sp.waypoints.shape[1]
+            has_ss = state.alive & (state.source_id >= 0)
+            src = jnp.clip(state.source_id, 0, s - 1)
+            wlen = sp.n_waypoints[src]
+            # Rogue agent: waypoint index past the end -> terminate
+            # (lib.rs:308-313; reference then still indexes the waypoint
+            # array — latent panic — we just remove).
+            rogue = has_ss & (state.next_waypoint >= wlen)
+            wp_c = jnp.clip(state.next_waypoint, 0, w - 1)
+            target = sp.waypoints[src, wp_c]  # [N, 2]
+            d = jnp.linalg.norm(state.position - target, axis=-1)
+            reached = has_ss & ~rogue & (d < sp.radius_sink[src])
+            at_last = state.next_waypoint == wlen - 1
+            looping = sp.loop_forever[src]
+            despawn = reached & at_last & ~looping
+            wrap = reached & at_last & looping
+            advance = reached & ~at_last
+            next_wp = jnp.where(
+                wrap,
+                0,
+                jnp.where(advance, state.next_waypoint + 1, state.next_waypoint),
+            )
+            # set_target for route-following planners on advance
+            # (lib.rs:325-334): assign the precomputed next leg.  NOTE the
+            # reference does NOT call set_target on loop_forever wraparound
+            # (lib.rs:318-320) — looping route-agents keep their old route;
+            # replicated by not reassigning on `wrap`.
+            route_id = state.route_id
+            route_wp = state.route_wp
+            for i, planner in enumerate(hl_planners):
+                if getattr(planner, "uses_routes", False):
+                    sel = advance & (state.hl_idx == jnp.int32(i))
+                    new_rid = sp.leg_route[src, jnp.clip(next_wp, 0, w - 1)]
+                    route_id = jnp.where(sel, new_rid, route_id)
+                    route_wp = jnp.where(sel, 0, route_wp)
+            destroyed = despawn | rogue
+            state = state.replace(
+                next_waypoint=jnp.where(has_ss, next_wp, state.next_waypoint),
+                route_id=route_id,
+                route_wp=route_wp,
+            )
+
+        # ---- Phase C: commit (lib.rs:350-359), Phase D: despawn --------
+        alive_pre = state.alive
+        pos_premove = state.position
+        committed_pref = (
+            jnp.where(alive_pre[:, None], self_pref, state.preferred_vel)
+            if config.commit_preferred_vel
+            else state.preferred_vel
+        )
+        state = state.replace(
+            position=jnp.where(alive_pre[:, None], new_pos, state.position),
+            velocity=jnp.where(alive_pre[:, None], vel, state.velocity),
+            preferred_vel=committed_pref,
+            alive=alive_pre & ~destroyed,
+            sim_time=state.sim_time + dt,
+        )
+
+        events = StepEvents(
+            spawned=spawned,
+            destroyed=destroyed,
+            waypoint_reached=reached,
+            # agent_spawned fires with the spawn position (lib.rs:151-153),
+            # before the agent's first integration.
+            spawn_position=jnp.where(
+                spawned[:, None], pos_premove, jnp.zeros((n, 2), f)
+            ),
+            destroyed_uid=jnp.where(destroyed, state.uid, -1),
+            # Reference prints "Reached waypoint" with the pre-move
+            # position in scope (lib.rs:314-317); report the same.
+            waypoint_position=jnp.where(
+                reached[:, None], pos_premove, jnp.zeros((n, 2), f)
+            ),
+            out_of_bounds=out_of_bounds,
+            spawn_dropped=spawn_dropped.astype(jnp.int32),
+            max_cell_occupancy=max_occ,
+        )
+        return state, events
+
+    return step

@@ -1,0 +1,187 @@
+"""Core Simulation tests, reproducing the reference's shipped scenarios.
+
+- test_step_integration mirrors lib.rs:422-453.
+- test_event_listener_source_sink_api mirrors
+  rmf_crowdsim/tests/event_listeners_test.rs:64-111 step for step.
+"""
+
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu import (
+    ConstantVelocity,
+    EventListener,
+    GridConfig,
+    MonotonicCrowd,
+    NoLocalPlan,
+    SimConfig,
+    Simulation,
+    SourceSink,
+)
+
+GRID = GridConfig(width=1000.0, height=1000.0, cell_size=20.0, offset=(-500.0, -500.0))
+
+
+def make_sim(backend="brute", capacity=64, **kw):
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GRID,
+        neighbor_backend=backend,
+        max_eyesight=100.0,
+        **kw,
+    )
+    return Simulation(cfg)
+
+
+def test_step_integration():
+    """lib.rs:422-453: one agent, constant-velocity HL planner, NoLocalPlan:
+    a 1 s step moves it by exactly v*dt."""
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    lp = NoLocalPlan()
+    assert sim.num_agents == 0
+    ids = sim.add_agents([(0.0, 0.0)], hl, lp, agent_eyesight_range=100.0)
+    assert ids == [0]
+    assert sim.num_agents == 1
+    sim.step(1.0)
+    assert sim.num_agents == 1
+    pos = np.asarray(sim.agents[0].position)
+    assert np.linalg.norm(pos - np.array([1.0, 0.0])) < 1e-5
+
+
+class MockEventListener(EventListener):
+    """event_listeners_test.rs:37-62."""
+
+    def __init__(self):
+        self.added = []
+        self.removed = []
+        self.waypoints = []
+
+    def agent_spawned(self, position, agent_id):
+        self.added.append(agent_id)
+
+    def agent_destroyed(self, agent_id):
+        self.removed.append(agent_id)
+
+    def waypoint_reached(self, position, agent_id):
+        self.waypoints.append(agent_id)
+
+
+@pytest.mark.parametrize("backend", ["brute", "grid"])
+def test_event_listener_source_sink_api(backend):
+    """event_listeners_test.rs:64-111: MonotonicCrowd rate 1/s streaming to
+    a sink at (20,0) with radius 1.  Population grows one per step for 20
+    steps, then holds at 20 with one spawn + one despawn per step."""
+    sim = make_sim(backend=backend)
+    hl = ConstantVelocity((1.0, 0.0))
+    lp = NoLocalPlan()
+    listener = MockEventListener()
+    sim.add_event_listener(listener)
+    sim.add_source_sink(
+        SourceSink(
+            source=(0.0, 0.0),
+            waypoints=[(20.0, 0.0)],
+            radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=hl,
+            local_planner=lp,
+            agent_eyesight_range=5.0,
+            loop_forever=False,
+        )
+    )
+    for step in range(20):
+        assert sim.num_agents == step
+        assert len(listener.added) == step
+        sim.step(1.0)
+    for step in range(20, 40):
+        assert sim.num_agents == 20
+        assert len(listener.added) == step
+        assert len(listener.removed) == step - 20
+        sim.step(1.0)
+
+
+def test_spawn_clearance_blocks():
+    """lib.rs:208-218: a spawn is dropped when an alive agent sits strictly
+    within 0.4 of the source."""
+    sim = make_sim()
+    hl = ConstantVelocity((0.0, 0.0))  # parked agent
+    lp = NoLocalPlan()
+    sim.add_agents([(0.0, 0.0)], hl, lp, 5.0)
+    sim.add_source_sink(
+        SourceSink(
+            source=(0.0, 0.0),
+            waypoints=[(20.0, 0.0)],
+            radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=hl,
+            local_planner=lp,
+            agent_eyesight_range=5.0,
+        )
+    )
+    sim.step(1.0)
+    assert sim.num_agents == 1  # blocked by the parked agent
+    assert int(sim.last_events.spawn_dropped) == 1
+
+
+def test_loop_forever_wraps():
+    """lib.rs:318-320: with loop_forever, reaching the last waypoint resets
+    next_waypoint to 0 instead of despawning."""
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    lp = NoLocalPlan()
+    sim.add_source_sink(
+        SourceSink(
+            source=(0.0, 0.0),
+            waypoints=[(3.0, 0.0)],
+            radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=hl,
+            local_planner=lp,
+            agent_eyesight_range=5.0,
+            loop_forever=True,
+        )
+    )
+    for _ in range(10):
+        sim.step(1.0)
+    # Nobody despawns; the single waypoint keeps wrapping.  Only spawn
+    # clearance limits the population (source clears after 1 step each).
+    assert sim.num_agents > 1
+    views = sim.agents.values()
+    assert all(v.next_waypoint == 0 for v in views)
+
+
+def test_remove_agents_and_events():
+    sim = make_sim()
+    listener = MockEventListener()
+    sim.add_event_listener(listener)
+    hl = ConstantVelocity((1.0, 0.0))
+    lp = NoLocalPlan()
+    ids = sim.add_agents([(0.0, 0.0), (5.0, 0.0)], hl, lp, 5.0)
+    assert listener.added == ids
+    sim.remove_agents(ids[0])
+    assert listener.removed == [ids[0]]
+    assert sim.num_agents == 1
+    with pytest.raises(KeyError):
+        sim.remove_agents(ids[0])
+
+
+def test_agent_ids_never_reused():
+    """lib.rs:128-129: ids are monotonic even when slots are reused."""
+    sim = make_sim(capacity=2)
+    hl = ConstantVelocity((0.0, 0.0))
+    lp = NoLocalPlan()
+    a = sim.add_agents([(0.0, 0.0)], hl, lp, 5.0)[0]
+    sim.remove_agents(a)
+    b = sim.add_agents([(1.0, 0.0)], hl, lp, 5.0)[0]
+    assert b == a + 1
+
+
+def test_sim_time_advances():
+    """Divergence from the reference (which never advances sim_time,
+    lib.rs:81,110): our clock accumulates dt."""
+    sim = make_sim()
+    hl = ConstantVelocity((0.0, 0.0))
+    sim.add_agents([(0.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    sim.step(0.5)
+    sim.step(0.25)
+    assert abs(sim.sim_time - 0.75) < 1e-6
