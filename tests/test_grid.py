@@ -1,0 +1,124 @@
+"""Grid-binning oracle tests, mirroring the reference's oracle pattern
+(location_hash_2d.rs:270-398: fast path vs naive brute force)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu.core.config import GridConfig
+from rmf_crowdsim_tpu.ops.grid import bin_agents, cell_coords, grid_neighbors
+from rmf_crowdsim_tpu.ops.neighbors import (
+    brute_neighbors,
+    nearest_neighbors,
+    neighbors_in_radius,
+)
+
+
+def neighbor_sets(nbr):
+    """Convert a NeighborSet to a list of per-agent python sets."""
+    idx = np.asarray(nbr.idx)
+    valid = np.asarray(nbr.valid)
+    return [set(idx[i][valid[i]].tolist()) for i in range(idx.shape[0])]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "grid",
+    [
+        GridConfig(10.0, 10.0, 0.5, (0.0, 0.0)),  # reference test grid
+        GridConfig(100.0, 60.0, 7.0, (-50.0, -30.0)),  # non-square, odd cell
+    ],
+)
+def test_grid_matches_brute_oracle(seed, grid):
+    """grid_neighbors == brute_neighbors as sets, for every agent, on random
+    configurations (the reference's test_radius_search as-sets comparison,
+    location_hash_2d.rs:343-368)."""
+    rng = np.random.default_rng(seed)
+    n = 64
+    pos = rng.uniform(
+        [grid.offset[0], grid.offset[1]],
+        [grid.offset[0] + grid.width, grid.offset[1] + grid.height],
+        size=(n, 2),
+    )
+    eyesight = rng.uniform(0.3, 3 * grid.cell_size, size=(n,))
+    alive = rng.random(n) > 0.2
+
+    pos_j = jnp.asarray(pos, jnp.float64)
+    eye_j = jnp.asarray(eyesight, jnp.float64)
+    alive_j = jnp.asarray(alive)
+
+    window = grid.window_radius(float(eyesight.max()))
+    fast = grid_neighbors(grid, pos_j, eye_j, alive_j, window=window, max_per_cell=n)
+    slow = brute_neighbors(pos_j, eye_j, alive_j)
+
+    fast_sets = neighbor_sets(fast)
+    slow_sets = neighbor_sets(slow)
+    for i in range(n):
+        if alive[i]:
+            assert fast_sets[i] == slow_sets[i], f"agent {i} mismatch"
+
+
+def test_max_per_cell_truncation_reported():
+    """Overfull cells truncate candidates but report occupancy."""
+    grid = GridConfig(10.0, 10.0, 5.0, (0.0, 0.0))
+    # 6 agents in one cell, cap at 4.
+    pos = jnp.asarray([[1.0 + 0.1 * i, 1.0] for i in range(6)], jnp.float64)
+    eye = jnp.full((6,), 5.0, jnp.float64)
+    alive = jnp.ones((6,), bool)
+    nbr = grid_neighbors(grid, pos, eye, alive, window=1, max_per_cell=4)
+    assert int(nbr.max_cell_occupancy) == 6
+    sets = neighbor_sets(nbr)
+    # Candidates are the first 4 slots of the cell; agents in that prefix see
+    # the other 3, later agents see all 4 — never the full 5.
+    assert all(len(s) <= 4 for s in sets)
+    assert all(len(sets[i]) == 3 for i in range(4))
+    assert all(len(sets[i]) == 4 for i in range(4, 6))
+
+
+def test_out_of_bounds_clamps():
+    grid = GridConfig(10.0, 10.0, 1.0, (0.0, 0.0))
+    pos = jnp.asarray([[-5.0, 3.0], [25.0, 3.0], [5.0, 5.0]], jnp.float64)
+    cx, cy, inb = cell_coords(grid, pos)
+    assert np.asarray(inb).tolist() == [False, False, True]
+    assert np.asarray(cx).tolist() == [0, 9, 5]
+
+
+def test_binning_segments():
+    grid = GridConfig(4.0, 4.0, 1.0, (0.0, 0.0))
+    pos = jnp.asarray(
+        [[0.5, 0.5], [0.6, 0.4], [3.5, 3.5], [2.5, 0.5]], jnp.float64
+    )
+    alive = jnp.asarray([True, True, True, False])
+    b = bin_agents(grid, pos, alive)
+    starts = np.asarray(b.starts)
+    # cell (0,0) id 0 holds agents 0,1; cell (2,0) id 8 holds nobody (agent 3
+    # is dead); cell (3,3) id 15 holds agent 2.
+    assert starts[1] - starts[0] == 2
+    assert starts[9] - starts[8] == 0
+    assert starts[16] - starts[15] == 1
+    order = np.asarray(b.order)
+    assert set(order[:2].tolist()) == {0, 1}
+    assert order[2] == 2  # dead agent 3 sorts last
+    assert order[3] == 3
+
+
+def test_point_queries():
+    """Reference spatial query semantics: strict < radius
+    (location_hash_2d.rs:251); exact kNN sorted by distance
+    (location_hash_2d.rs:226-238)."""
+    pos = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [0.5, 0.5]], jnp.float64)
+    alive = jnp.ones((4,), bool)
+    mask = neighbors_in_radius(pos, alive, jnp.asarray(1.0), jnp.asarray([0.0, 0.0]))
+    # strict <: agent1 at exactly distance 1.0 excluded
+    assert np.asarray(mask).tolist() == [True, False, False, True]
+
+    idx, valid = nearest_neighbors(pos, alive, 3, jnp.asarray([0.0, 0.0]))
+    assert np.asarray(idx).tolist()[:2] == [0, 3]
+    assert np.asarray(valid).all()
+
+    # dead agents never returned
+    alive2 = jnp.asarray([False, True, True, False])
+    idx2, valid2 = nearest_neighbors(pos, alive2, 3, jnp.asarray([0.0, 0.0]))
+    got = [i for i, v in zip(np.asarray(idx2), np.asarray(valid2)) if v]
+    assert got == [1, 2]
