@@ -22,6 +22,7 @@ from .models.highlevel import (
     WaypointFollow,
 )
 from .models.local import LocalPlanner, NoLocalPlan, Zanlungo, ZanlungoParams
+from .models.rmf import RMFPlanner
 from .models.source_sink import (
     MonotonicCrowd,
     PoissonCrowd,
@@ -43,6 +44,7 @@ __all__ = [
     "NoLocalPlan",
     "ParityVelocity",
     "PoissonCrowd",
+    "RMFPlanner",
     "RouteTable",
     "SimConfig",
     "SimParams",

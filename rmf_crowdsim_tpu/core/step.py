@@ -307,3 +307,49 @@ def build_step(
         return state, events
 
     return step
+
+
+@struct.dataclass
+class RolloutCounters:
+    """Per-step event summaries from a scanned rollout.  Full [T, N] event
+    masks would cost T×N bools of HBM; the scan instead reduces each step's
+    masks to counters — the information the reference's EventListener
+    accounting tests actually assert on (event_listeners_test.rs:97-110)."""
+
+    n_alive: jax.Array  # [T] int32 — population after each step
+    n_spawned: jax.Array  # [T] int32
+    n_destroyed: jax.Array  # [T] int32
+    n_waypoint_reached: jax.Array  # [T] int32
+    spawn_dropped: jax.Array  # [T] int32
+    out_of_bounds: jax.Array  # [T] int32
+    max_cell_occupancy: jax.Array  # [T] int32
+
+
+def build_rollout(
+    config: SimConfig,
+    hl_planners: Sequence[Any],
+    lp_planners: Sequence[Any],
+):
+    """Construct ``rollout(params, state, dt, n_steps) -> (state, counters)``:
+    ``n_steps`` simulation steps under one ``lax.scan`` — the multi-step
+    analog of calling ``Simulation::step`` in a loop (lib.rs:195), with zero
+    host round-trips between steps."""
+    step = build_step(config, hl_planners, lp_planners)
+
+    def rollout(params: SimParams, state: SimState, dt, n_steps: int):
+        def body(st, _):
+            st, ev = step(params, st, dt)
+            c = RolloutCounters(
+                n_alive=st.num_alive,
+                n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
+                n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
+                n_waypoint_reached=jnp.sum(ev.waypoint_reached.astype(jnp.int32)),
+                spawn_dropped=ev.spawn_dropped,
+                out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
+                max_cell_occupancy=ev.max_cell_occupancy,
+            )
+            return st, c
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return rollout
