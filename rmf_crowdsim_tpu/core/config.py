@@ -92,6 +92,17 @@ class SimConfig:
     # written on a per-agent clone (lib.rs:271) but never committed
     # (lib.rs:354-357), so neighbors forever observe the spawn value.
     commit_preferred_vel: bool = False
+    # --- grid_pallas backend tuning (ops/zanlungo_pallas.py) -------------
+    # Agent slots per supertile bucket; tiles holding more agents than this
+    # drop the surplus from the force pass (audited via the occupancy
+    # diagnostic).
+    bucket_capacity: int = 16
+    # Supertiles per kernel program (column strip) and per inner query
+    # sub-block.  strip_tiles must be a multiple of sub_tiles.
+    strip_tiles: int = 96
+    sub_tiles: int = 6
+    # Run the Pallas kernel in interpreter mode (CPU tests).
+    pallas_interpret: bool = False
 
     @property
     def jdtype(self):

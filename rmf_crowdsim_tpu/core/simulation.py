@@ -302,6 +302,27 @@ class Simulation:
             for listener in self._event_listeners.values():
                 listener.agent_destroyed(int(destroyed_uid[slot]))
 
+    # -- checkpoint / resume (absent in the reference, SURVEY.md §5) ----------
+
+    def save(self, path: str) -> None:
+        """Checkpoint the complete simulation state to ``path`` (.npz)."""
+        from ..utils.checkpoint import save_state
+
+        save_state(path, self.state)
+
+    def load(self, path: str) -> None:
+        """Restore state from a checkpoint.  Capacity must match the
+        current config (static shapes)."""
+        from ..utils.checkpoint import load_state
+
+        state = load_state(path)
+        if state.capacity != self.config.capacity:
+            raise ValueError(
+                f"checkpoint capacity {state.capacity} != config "
+                f"capacity {self.config.capacity}"
+            )
+        self.state = state
+
     # -- observability ---------------------------------------------------------
 
     def _slot_of(self, agent_id: int) -> int:

@@ -126,7 +126,10 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
         # Zanlungo right-of-way priority defaults to the agent id
         # (zanlungo.rs:94-98, 183-184).
         priority=scat(state.priority, new_uid.astype(f)),
-        next_uid=state.next_uid + jnp.sum(can.astype(jnp.int32)),
+        # dtype-pinned sum: under x64 jnp.sum would promote to int64 and
+        # break the lax.scan carry.
+        next_uid=state.next_uid
+        + jnp.sum(can.astype(jnp.int32), dtype=jnp.int32),
     )
     spawned = jnp.zeros((n,), jnp.bool_).at[tgt].set(True, mode="drop")
     dropped = jnp.sum(n_requested) - jnp.sum(can.astype(jnp.int32))
@@ -148,10 +151,20 @@ def build_step(
     hl_planners = tuple(hl_planners)
     lp_planners = tuple(lp_planners)
 
-    if config.neighbor_backend in (BACKEND_GRID, BACKEND_GRID_PALLAS):
+    if config.neighbor_backend == BACKEND_GRID:
         window = config.grid.window_radius(config.max_eyesight)
     else:
         window = None
+
+    bucket_cfg = None
+    if config.neighbor_backend == BACKEND_GRID_PALLAS:
+        from ..ops.zanlungo_pallas import BucketConfig
+
+        bucket_cfg = BucketConfig.create(
+            config.grid.width, config.grid.height, config.grid.offset,
+            config.max_eyesight, bucket=config.bucket_capacity,
+            strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
+        )
 
     def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
         if config.neighbor_backend == BACKEND_BRUTE:
@@ -161,7 +174,7 @@ def build_step(
             state.position,
             state.eyesight,
             state.alive,
-            window=window,
+            window=window or config.grid.window_radius(config.max_eyesight),
             max_per_cell=config.max_per_cell,
         )
 
@@ -198,15 +211,31 @@ def build_step(
 
         # Local pass (lib.rs:276-292): neighbor candidates from step-start
         # state, then each local planner corrects the recommended velocity.
+        # With the grid_pallas backend, planners providing a fused kernel
+        # (Zanlungo) skip the candidate table entirely.
+        max_occ = jnp.zeros((), jnp.int32)
         if lp_planners:
-            nbr = neighbor_table(state)
-            max_occ = nbr.max_cell_occupancy
+            nbr = None
+            use_fused = bucket_cfg is not None
+            need_nbr = any(
+                getattr(p, "needs_neighbors", True)
+                and not (use_fused and hasattr(p, "plan_fused"))
+                for p in lp_planners
+            )
+            if need_nbr:
+                nbr = neighbor_table(state)
+                max_occ = nbr.max_cell_occupancy
             for i, planner in enumerate(lp_planners):
-                v = planner.plan(params.lp[i], state, nbr, vel, self_pref)
+                if use_fused and hasattr(planner, "plan_fused"):
+                    v, occ = planner.plan_fused(
+                        params.lp[i], bucket_cfg, state, vel, self_pref,
+                        interpret=config.pallas_interpret,
+                    )
+                    max_occ = jnp.maximum(max_occ, occ)
+                else:
+                    v = planner.plan(params.lp[i], state, nbr, vel, self_pref)
                 sel = (state.lp_idx == jnp.int32(i)) & state.alive
                 vel = jnp.where(sel[:, None], v, vel)
-        else:
-            max_occ = jnp.zeros((), jnp.int32)
 
         # Euler integration (lib.rs:295-297).
         new_pos = state.position + vel * dt

@@ -51,6 +51,8 @@ class LocalPlanner:
 class NoLocalPlan(LocalPlanner):
     """Returns the recommended velocity unchanged (no_local_plan.rs:7-18)."""
 
+    needs_neighbors = False
+
     def plan(self, params, state: SimState, nbr: NeighborSet, rec_vel, self_pref):
         return rec_vel
 
@@ -296,4 +298,17 @@ class Zanlungo(LocalPlanner):
             nbr.idx,
             nbr.valid,
             rec_vel,
+        )
+
+    def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
+                   self_pref, interpret: bool = False):
+        """Fused neighbor-search + force Pallas kernel path (the
+        grid_pallas backend; ops/zanlungo_pallas.py).  Returns
+        (vel [N,2], max_tile_occupancy)."""
+        from ..ops.zanlungo_pallas import zanlungo_fused
+
+        return zanlungo_fused(
+            bucket_cfg, params, state.position, state.velocity, self_pref,
+            state.preferred_vel, state.priority, state.eyesight, state.alive,
+            rec_vel, interpret=interpret,
         )

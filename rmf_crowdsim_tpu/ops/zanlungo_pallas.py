@@ -1,0 +1,523 @@
+"""Fused Zanlungo social-force Pallas TPU kernel.
+
+Replaces the two hottest passes of the step — neighbor search
+(lib.rs:277-279) and the Zanlungo force accumulation (zanlungo.rs:201-218)
+— with ONE kernel that never materializes a candidate table in HBM.  The
+jnp implementation (models/local.py + ops/grid.py) gathers ``[N, K]``
+neighbor fields through HBM, which at 1M agents is gigabytes per step and
+OOMs; this kernel streams agents through VMEM instead.
+
+Layout ("cell list" in particle-code terms):
+
+1.  The world is split into square *supertiles* of ``tile_size`` >= the
+    maximum eyesight, arranged in a ``tx`` x ``ty`` grid, flat id
+    ``t = tcx * ty + tcy`` (column-major, y minor).
+2.  Agents are binned into per-tile *buckets* of ``bucket`` slots
+    (sort-by-tile + rank; overflow agents keep their recommended velocity
+    and are reported via the occupancy diagnostic).
+3.  All per-agent features are packed into one ``[F, tx*ty*bucket]`` f32
+    array; empty slots hold sentinels (position 1e30 => distance-masked).
+4.  Kernel grid = (tx, ty/strip_tiles): each program owns a *column strip*
+    of ``strip_tiles`` tiles.  It DMAs three contiguous spans — the strip
+    columns at tcx-1, tcx, tcx+1, each with one halo tile above and below
+    — into VMEM, then loops over ``sub_tiles``-sized query sub-blocks
+    computing pairwise TTC + forces against the three matching span
+    windows.  Because ``tile_size >= eyesight``, every true neighbor of a
+    query lies inside those windows; everything else is masked by the
+    exact ``dist < eyesight`` test (strict <, matching
+    location_hash_2d.rs:251).
+
+Correctness notes:
+
+- Span starts are clamped into the array; clamping only ever shifts a
+  span within its own column, so a query's three candidate windows are
+  three disjoint contiguous ranges — no pair is ever double-counted.
+  Shifted-in tiles are >= tile_size away and distance-masked.
+- Column wrap-around (the halo tile of a strip at the column edge) lands
+  in a spatially distant tile and is likewise distance-masked; this
+  requires the world to span >= 3 tiles per axis (asserted).
+- Self-pairs are excluded by slot-id equality (slot ids are exact in f32
+  up to 2^24 — capacity is asserted below that).
+- The force math mirrors models/local.py line for line (which itself
+  carries the zanlungo.rs citations); the jnp version is the oracle in
+  tests/test_zanlungo_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Feature rows in the packed array.
+ROW_PX, ROW_PY = 0, 1       # position
+ROW_VX, ROW_VY = 2, 3       # velocity
+ROW_FX, ROW_FY = 4, 5       # committed preferred velocity (what neighbors
+#                             observe — see models/local.py LocalPlanner)
+ROW_PRIO = 6                # right-of-way priority
+ROW_EYE = 7                 # eyesight radius (query side)
+ROW_RX, ROW_RY = 8, 9       # recommended velocity (query side)
+ROW_ID = 10                 # slot id (exact in f32; -1 = empty)
+ROW_SPX, ROW_SPY = 11, 12   # own fresh preferred velocity (query side)
+NUM_F = 13
+
+_POS_SENTINEL = 1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketConfig:
+    """Static geometry of the bucketed supertile layout."""
+
+    tile_size: float
+    offset: Tuple[float, float]
+    tx: int            # supertile columns
+    ty: int            # supertile rows, padded to a multiple of strip_tiles
+    bucket: int        # agent slots per supertile
+    strip_tiles: int   # tiles per kernel program (column strip)
+    sub_tiles: int     # tiles per inner query sub-block
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tx * self.ty
+
+    @property
+    def slots(self) -> int:
+        return self.n_tiles * self.bucket
+
+    def __post_init__(self):
+        assert self.strip_tiles % self.sub_tiles == 0
+        assert self.ty % self.strip_tiles == 0
+        assert self.tx >= 3 and self.ty >= 3, "world must span >= 3 tiles"
+
+    @classmethod
+    def create(cls, width: float, height: float, offset: Tuple[float, float],
+               max_eyesight: float, bucket: int = 16, strip_tiles: int = 96,
+               sub_tiles: int = 6) -> "BucketConfig":
+        tile = max(float(max_eyesight), 1e-6)
+        tx = max(3, int(math.ceil(width / tile)))
+        ty = max(3, int(math.ceil(height / tile)))
+        ty = int(math.ceil(ty / strip_tiles) * strip_tiles)
+        return cls(tile_size=tile, offset=(float(offset[0]), float(offset[1])),
+                   tx=tx, ty=ty, bucket=bucket, strip_tiles=strip_tiles,
+                   sub_tiles=sub_tiles)
+
+
+# ---------------------------------------------------------------------------
+# jnp side: bucketize / unbucketize
+# ---------------------------------------------------------------------------
+
+
+def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
+              self_pref, priority, eyesight, rec_vel, alive):
+    """Pack agent features into the bucketed layout.
+
+    Returns (packed [NUM_F, slots] f32, bucket_pos [N] int32 (== slots for
+    dropped/dead agents), max_tile_occupancy [] int32).
+    """
+    n = position.shape[0]
+    assert n < (1 << 24), "slot ids must be exact in f32"
+    t_sent = jnp.int32(cfg.n_tiles)
+    inv_tile = 1.0 / cfg.tile_size
+
+    rel_x = (position[:, 0] - cfg.offset[0]) * inv_tile
+    rel_y = (position[:, 1] - cfg.offset[1]) * inv_tile
+    tcx = jnp.clip(jnp.floor(rel_x).astype(jnp.int32), 0, cfg.tx - 1)
+    tcy = jnp.clip(jnp.floor(rel_y).astype(jnp.int32), 0, cfg.ty - 1)
+    tid = tcx * jnp.int32(cfg.ty) + tcy
+    key = jnp.where(alive, tid, t_sent)
+
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_tid = key[order]
+    starts = jnp.searchsorted(
+        sorted_tid, jnp.arange(cfg.n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    seg_start = starts[jnp.clip(sorted_tid, 0, cfg.n_tiles - 1)]
+    rank = jnp.arange(n, dtype=jnp.int32) - seg_start
+    in_bucket = (sorted_tid < t_sent) & (rank < cfg.bucket)
+    bpos_sorted = jnp.where(
+        in_bucket, sorted_tid * jnp.int32(cfg.bucket) + rank,
+        jnp.int32(cfg.slots),
+    )
+
+    f32 = jnp.float32
+    feat = jnp.stack(
+        [
+            position[:, 0].astype(f32),
+            position[:, 1].astype(f32),
+            velocity[:, 0].astype(f32),
+            velocity[:, 1].astype(f32),
+            pref_committed[:, 0].astype(f32),
+            pref_committed[:, 1].astype(f32),
+            priority.astype(f32),
+            eyesight.astype(f32),
+            rec_vel[:, 0].astype(f32),
+            rec_vel[:, 1].astype(f32),
+            jnp.arange(n, dtype=f32),
+            self_pref[:, 0].astype(f32),
+            self_pref[:, 1].astype(f32),
+        ],
+        axis=0,
+    )  # [NUM_F, N]
+    feat_sorted = feat[:, order]
+
+    sentinel = jnp.zeros((NUM_F, 1), f32)
+    sentinel = sentinel.at[ROW_PX].set(_POS_SENTINEL)
+    sentinel = sentinel.at[ROW_PY].set(_POS_SENTINEL)
+    sentinel = sentinel.at[ROW_ID].set(-1.0)
+    packed = jnp.broadcast_to(sentinel, (NUM_F, cfg.slots))
+    packed = packed.at[:, bpos_sorted].set(feat_sorted, mode="drop")
+
+    bucket_pos = (
+        jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
+    )
+    counts = starts[1:] - starts[:-1]
+    max_occ = jnp.max(counts).astype(jnp.int32)
+    return packed, bucket_pos, max_occ
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _pair_ttc(qvx, qvy, qpx, qpy, cvx, cvy, cpx, cpy, radius):
+    """Pairwise time-to-collision [Q, C] (zanlungo.rs:49-74; see
+    models/local.py time_to_collision for the branch semantics)."""
+    rvx = cvx - qvx
+    rvy = cvy - qvy
+    rpx = cpx - qpx
+    rpy = cpy - qpy
+    a = rvx * rvx + rvy * rvy
+    b = 2.0 * (rvx * rpx + rvy * rpy)
+    c = rpx * rpx + rpy * rpy - radius * radius
+    disc = b * b - 4.0 * a * c
+    safe_a = jnp.where(a > 0, a, 1.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / (2.0 * safe_a)
+    t1 = (-b + sq) / (2.0 * safe_a)
+    inf = jnp.float32(jnp.inf)
+    opposite = ((t0 < 0) & (t1 > 0)) | ((t1 < 0) & (t0 > 0))
+    res = jnp.where(
+        opposite, 0.0,
+        jnp.where((t0 < t1) & (t0 > 0), t0, jnp.where(t1 > 0, t1, inf)),
+    )
+    res = jnp.where(disc < 0, inf, res)
+    return jnp.where(a > 0, res, inf), (rpx * rpx + rpy * rpy)
+
+
+_HALF_PI = 1.5707963267948966
+
+
+def _asin01(x):
+    """arcsin on [0, 1] as polynomials (Pallas TPU has no asin lowering).
+
+    Maclaurin series x*P(x^2) for x <= 0.5; the half-angle identity
+    ``asin(x) = pi/2 - 2 asin(sqrt((1-x)/2))`` maps (0.5, 1] back onto
+    [0, 0.5].  Max abs error ~5e-7 — below the f32 noise of the force sum.
+    """
+    # asin series coefficients (2k)! / (4^k (k!)^2 (2k+1)), k = 0..6.
+    def poly(z):
+        u = z * z
+        p = 0.0173527
+        p = p * u + 0.0223721
+        p = p * u + 0.0303819
+        p = p * u + 0.0446429
+        p = p * u + 0.075
+        p = p * u + 0.16666667
+        p = p * u + 1.0
+        return z * p
+
+    small = x <= 0.5
+    s = jnp.sqrt(jnp.maximum((1.0 - x) * 0.5, 0.0))
+    return jnp.where(small, poly(x), _HALF_PI - 2.0 * poly(s))
+
+
+def _sin0hp(x):
+    """sin on [0, pi/2] via a degree-11 odd Taylor polynomial (max abs
+    error ~6e-9; Pallas TPU sin lowering is avoided for portability)."""
+    u = x * x
+    p = -2.50521084e-08
+    p = p * u + 2.75573192e-06
+    p = p * u - 1.98412698e-04
+    p = p * u + 8.33333333e-03
+    p = p * u - 1.66666667e-01
+    p = p * u + 1.0
+    return x * p
+
+
+def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
+                cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask):
+    """Pairwise force [Q, C] given per-query min TTC ``t_i`` [Q, 1]
+    (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity)."""
+    agent_scale, force_distance, _mass, radius = zp
+
+    # right_of_way_vel (zanlungo.rs:173-198)
+    row = jnp.clip(qprio - cprio, -1.0, 1.0)
+    r2n = jnp.sqrt(jnp.maximum(-row, 0.0))
+    r2p = jnp.sqrt(jnp.maximum(row, 0.0))
+    w = jnp.where(row < 0, -r2n, jnp.where(row > 0, r2p, 0.0))
+    pos_row = row > 0
+    neg_row = row < 0
+    mvx = jnp.where(pos_row, qvx + r2p * (qspx - qvx), qvx)
+    mvy = jnp.where(pos_row, qvy + r2p * (qspy - qvy), qvy)
+    ovx = jnp.where(neg_row, cvx + r2n * (cfx - cvx), cvx)
+    ovy = jnp.where(neg_row, cvy + r2n * (cfy - cvy), cvy)
+
+    weight = 1.0 - w
+    fut_x = qpx + mvx * t_i
+    fut_y = qpy + mvy * t_i
+    ofut_x = cpx + ovx * t_i
+    ofut_y = cpy + ovy * t_i
+    dx = fut_x - ofut_x
+    dy = fut_y - ofut_y
+    dist = jnp.sqrt(dx * dx + dy * dy)  # captured pre-slerp (zanlungo.rs:112)
+
+    # "other has right of way" slerp branch (zanlungo.rs:113-151)
+    pref_speed2 = cfx * cfx + cfy * cfy
+    stationary = pref_speed2 < 1e-8  # |pref| < 1e-4 (zanlungo.rs:116)
+    crx = qpx - cpx
+    cry = qpy - cpy
+    perp_sx = -cry
+    perp_sy = crx
+    flip_s = (perp_sx * qvx + perp_sy * qvy) < 0
+    perp_sx = jnp.where(flip_s, -perp_sx, perp_sx)
+    perp_sy = jnp.where(flip_s, -perp_sy, perp_sy)
+    perp_mx = -cfy
+    perp_my = cfx
+    flip_m = (perp_mx * dx + perp_my * dy) < 0
+    perp_mx = jnp.where(flip_m, -perp_mx, perp_mx)
+    perp_my = jnp.where(flip_m, -perp_my, perp_my)
+    moving_interp = (cfx * dx + cfy * dy) > 0
+    interpolate = jnp.where(stationary, True, moving_interp)
+    perp_x = jnp.where(stationary, perp_sx, perp_mx)
+    perp_y = jnp.where(stationary, perp_sy, perp_my)
+
+    sin_theta = jnp.minimum(jnp.abs(perp_x * dy - perp_y * dx), 1.0)
+    theta = _asin01(sin_theta)
+    t_s = weight - 1.0
+    safe_sin = jnp.where(sin_theta > 0, sin_theta, 1.0)
+    # (1-t)theta and t*theta both lie in [0, pi/2]: t in (0, 1] whenever
+    # the slerp branch is live (weight in (1, 2], zanlungo.rs:152).
+    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI)) / safe_sin
+    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI)) / safe_sin
+    sl_x = jnp.where(sin_theta > 0, dx * s0 + perp_x * s1, dx)
+    sl_y = jnp.where(sin_theta > 0, dy * s0 + perp_y * s1, dy)
+    use_slerp = (weight > 1.0) & interpolate
+    dx = jnp.where(use_slerp, sl_x, dx)
+    dy = jnp.where(use_slerp, sl_y, dy)
+
+    d_norm = jnp.sqrt(dx * dx + dy * dy)
+    inv_d = jnp.where(d_norm > 0, 1.0 / jnp.where(d_norm > 0, d_norm, 1.0), 0.0)
+    ux = dx * inv_d
+    uy = dy * inv_d
+
+    surface_dist = dist - 2.0 * radius
+    sdx = mvx - ovx
+    sdy = mvy - ovy
+    speed_diff = jnp.sqrt(sdx * sdx + sdy * sdy)
+    safe_t = jnp.where(t_i > 0, t_i, 1.0)
+    magnitude = weight * agent_scale * speed_diff / safe_t
+    inf = jnp.float32(jnp.inf)
+    magnitude = jnp.where((t_i == 0) & (speed_diff * weight > 0), inf,
+                          magnitude)
+    magnitude = jnp.minimum(magnitude, 1e15)
+    falloff = jnp.exp(-surface_dist / force_distance)
+    scale = magnitude * falloff
+    # Select AFTER the multiply: masked lanes hold sentinel-driven inf/NaN
+    # garbage that must never leak through arithmetic.
+    return (jnp.where(mask, ux * scale, 0.0),
+            jnp.where(mask, uy * scale, 0.0))
+
+
+def _make_kernel(cfg: BucketConfig):
+    strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
+    q_len = strip * B
+    sub_q = qb * B
+    sub_c = (qb + 2) * B
+    nsub = strip // qb
+    slots = cfg.slots
+    ty, tx = cfg.ty, cfg.tx
+
+    def kernel(zp_ref, packed_any, qt_ref, out_ref, win_vmem, sem):
+        # win_vmem: [2, 3, NUM_F, sub_c] double-buffered candidate windows,
+        # DMA'd straight from HBM (DMA needs no lane alignment, unlike
+        # vector loads at dynamic lane offsets, which Mosaic rejects).
+        px = pl.program_id(0)
+        ps = pl.program_id(1)
+        py0 = ps * strip
+
+        zp = (zp_ref[0], zp_ref[1], zp_ref[2], zp_ref[3])
+        radius = zp_ref[3]
+        span_valid = [
+            (px + d >= 0) & (px + d < tx) for d in (-1, 0, 1)
+        ]
+
+        def win_dma(s, k, slot):
+            # Candidate window for sub-block s, column offset k-1: tiles
+            # [py0 + s*qb - 1, +qb+2) in column px+k-1, clamped into the
+            # array (clamping shifts stay within a column; shifted-in
+            # tiles are distance-masked).
+            g = (px + (k - 1)) * ty + py0 + s * qb - 1
+            g = jnp.clip(g * B, 0, slots - sub_c)
+            return pltpu.make_async_copy(
+                packed_any.at[:, pl.ds(g, sub_c)],
+                win_vmem.at[slot, k],
+                sem.at[slot, k],
+            )
+
+        for k in range(3):
+            win_dma(0, k, 0).start()
+
+        def sub_block(s, _):
+            slot = jax.lax.rem(s, 2)
+            nslot = jax.lax.rem(s + 1, 2)
+
+            @pl.when(s + 1 < nsub)
+            def _():
+                for k in range(3):
+                    win_dma(s + 1, k, nslot).start()
+
+            for k in range(3):
+                win_dma(s, k, slot).wait()
+
+            q0 = s * sub_q
+
+            # Query features from the transposed copy: [sub_q, 1] (query
+            # dim in sublanes so pair matrices are [Q, C]).
+            def qrow(r):
+                return qt_ref[pl.ds(q0, sub_q), r:r + 1]
+
+            qpx_, qpy_ = qrow(ROW_PX), qrow(ROW_PY)
+            qvx_, qvy_ = qrow(ROW_VX), qrow(ROW_VY)
+            qprio_ = qrow(ROW_PRIO)
+            qeye_ = qrow(ROW_EYE)
+            qid_ = qrow(ROW_ID)
+            qspx_, qspy_ = qrow(ROW_SPX), qrow(ROW_SPY)
+
+            def crow(k, r):
+                return win_vmem[slot, k, r, :].reshape(1, sub_c)
+
+            # ---- pass 1: min time-to-collision over the three windows
+            inf = jnp.float32(jnp.inf)
+            t_i = jnp.full((sub_q, 1), inf, jnp.float32)
+            masks = []
+            for k in range(3):
+                cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
+                cid_ = crow(k, ROW_ID)
+                ttc, dist2 = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
+                                       cvx_, cvy_, cpx_, cpy_, radius)
+                mask = (
+                    (dist2 < qeye_ * qeye_)
+                    & (cid_ != qid_)
+                    & (cid_ >= 0)
+                    & span_valid[k]
+                )
+                masks.append(mask)
+                ttc = jnp.where(mask, ttc, inf)
+                t_i = jnp.minimum(t_i, jnp.min(ttc, axis=1, keepdims=True))
+
+            # ---- pass 2: force accumulation (zanlungo.rs:201-218)
+            fx = jnp.zeros((sub_q, 1), jnp.float32)
+            fy = jnp.zeros((sub_q, 1), jnp.float32)
+            for k in range(3):
+                cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
+                cfx_, cfy_ = crow(k, ROW_FX), crow(k, ROW_FY)
+                cprio_ = crow(k, ROW_PRIO)
+                pfx, pfy = _pair_force(
+                    zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
+                    cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_, masks[k],
+                )
+                fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
+                fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
+
+            # Forces apply only when some neighbor has finite TTC
+            # (zanlungo.rs:211); output = rec + force / mass.
+            has = jnp.isfinite(t_i)
+            inv_mass = 1.0 / zp[2]
+            rx = qrow(ROW_RX)
+            ry = qrow(ROW_RY)
+            out_x = rx + jnp.where(has, fx * inv_mass, 0.0)
+            out_y = ry + jnp.where(has, fy * inv_mass, 0.0)
+            out_ref[pl.ds(q0, sub_q), 0:1] = out_x
+            out_ref[pl.ds(q0, sub_q), 1:2] = out_y
+            return 0
+
+        jax.lax.fori_loop(0, nsub, sub_block, 0)
+
+    return kernel, q_len, sub_c
+
+
+def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed,
+                             interpret: bool = False):
+    """Run the kernel over the packed array.
+
+    zparams4: [4] f32 — (agent_scale, force_distance, agent_mass,
+    agent_radius).  Returns [slots, 2] f32 velocities (rec + force/mass)
+    per bucket slot.
+    """
+    kernel, q_len, sub_c = _make_kernel(cfg)
+    n_strips = cfg.ty // cfg.strip_tiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cfg.tx, n_strips),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # full packed (DMA'd)
+            pl.BlockSpec(                          # query strip (transposed)
+                (q_len, NUM_F),
+                lambda i, j, *_: (i * n_strips + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_len, 2),
+            lambda i, j, *_: (i * n_strips + j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, NUM_F, sub_c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(zparams4.astype(jnp.float32), packed, packed.T)
+
+
+def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
+                   pref_committed, priority, eyesight, alive, rec_vel,
+                   interpret: bool = False):
+    """Full fused pass: bucketize -> kernel -> unbucketize.
+
+    Signature mirrors models/local.py zanlungo_velocity (minus the
+    candidate table).  Returns (vel [N, 2], max_tile_occupancy).
+    Agents dropped by bucket overflow (occupancy > cfg.bucket) keep
+    ``rec_vel`` — audit via the returned occupancy.
+    """
+    dtype = position.dtype
+    packed, bucket_pos, max_occ = bucketize(
+        cfg, position, velocity, pref_committed, self_pref, priority,
+        eyesight, rec_vel, alive,
+    )
+    zparams4 = jnp.stack([
+        zp.agent_scale.astype(jnp.float32),
+        zp.force_distance.astype(jnp.float32),
+        zp.agent_mass.astype(jnp.float32),
+        zp.agent_radius.astype(jnp.float32),
+    ])
+    out = zanlungo_forces_bucketed(cfg, zparams4, packed, interpret=interpret)
+    safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
+    ok = (bucket_pos < cfg.slots) & alive
+    vel = out[safe].astype(dtype)
+    vel = jnp.where(ok[:, None], vel, rec_vel)
+    return vel, max_occ

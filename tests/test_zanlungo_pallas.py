@@ -1,0 +1,139 @@
+"""Pallas fused Zanlungo kernel vs the jnp oracle (models/local.py), in
+interpreter mode on CPU — the framework's oracle-vs-fast-path pattern
+(mirroring the reference's own spatial-oracle tests,
+location_hash_2d.rs:270-398)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu.models.local import ZanlungoParams, zanlungo_velocity
+from rmf_crowdsim_tpu.ops.neighbors import brute_neighbors
+from rmf_crowdsim_tpu.ops.zanlungo_pallas import (
+    BucketConfig,
+    bucketize,
+    zanlungo_fused,
+)
+
+
+def make_params(scale=1.3, fd=4.0, mass=2.0, radius=0.4):
+    return ZanlungoParams(
+        agent_scale=jnp.asarray(scale, jnp.float32),
+        obstacle_scale=jnp.asarray(1.0, jnp.float32),
+        reaction_time=jnp.asarray(0.0, jnp.float32),
+        force_distance=jnp.asarray(fd, jnp.float32),
+        agent_mass=jnp.asarray(mass, jnp.float32),
+        agent_radius=jnp.asarray(radius, jnp.float32),
+    )
+
+
+def random_scene(seed, n, world, eyesight_max):
+    rng = np.random.default_rng(seed)
+    f32 = jnp.float32
+    pos = jnp.asarray(rng.uniform(0.0, world, (n, 2)), f32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    pref_committed = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    self_pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    prio = jnp.asarray(rng.permutation(n).astype(np.float32))
+    eye = jnp.asarray(rng.uniform(0.5, eyesight_max, (n,)), f32)
+    alive = jnp.asarray(rng.random(n) > 0.15)
+    rec = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    return pos, vel, self_pref, pref_committed, prio, eye, alive, rec
+
+
+def oracle(zp, scene):
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+    nbr = brute_neighbors(pos, eye, alive)
+    return zanlungo_velocity(zp, pos, vel, self_pref, pref_c, prio,
+                             nbr.idx, nbr.valid, rec)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_matches_oracle(seed):
+    n = 96
+    world = 24.0
+    eyesight_max = 3.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
+                              bucket=8, strip_tiles=4, sub_tiles=2)
+    zp = make_params()
+    scene = random_scene(seed, n, world, eyesight_max)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+
+    got, max_occ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c,
+                                  prio, eye, alive, rec, interpret=True)
+    assert int(max_occ) <= cfg.bucket, "bucket overflow would break parity"
+    want = oracle(zp, scene)
+
+    got = np.asarray(got)
+    want = np.asarray(want)
+    alive_np = np.asarray(alive)
+    np.testing.assert_allclose(got[alive_np], want[alive_np],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_under_jit():
+    n = 64
+    world = 16.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 2.0,
+                              bucket=8, strip_tiles=4, sub_tiles=2)
+    zp = make_params()
+    scene = random_scene(7, n, world, 2.0)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+
+    fn = jax.jit(
+        lambda *a: zanlungo_fused(cfg, zp, *a, interpret=True)
+    )
+    got, _ = fn(pos, vel, self_pref, pref_c, prio, eye, alive, rec)
+    want = oracle(zp, scene)
+    alive_np = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[alive_np],
+                               np.asarray(want)[alive_np],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bucketize_roundtrip():
+    """Every alive agent lands in exactly one bucket slot; slot ids match."""
+    n = 40
+    world = 12.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 2.0,
+                              bucket=8, strip_tiles=2, sub_tiles=1)
+    scene = random_scene(3, n, world, 2.0)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+    packed, bpos, max_occ = bucketize(cfg, pos, vel, pref_c, self_pref,
+                                      prio, eye, rec, alive)
+    packed = np.asarray(packed)
+    bpos = np.asarray(bpos)
+    alive_np = np.asarray(alive)
+    ids = packed[10]  # ROW_ID
+    live_slots = ids[ids >= 0].astype(int)
+    assert sorted(live_slots) == sorted(np.flatnonzero(alive_np).tolist())
+    for i in np.flatnonzero(alive_np):
+        assert bpos[i] < cfg.slots
+        assert int(ids[bpos[i]]) == i
+    for i in np.flatnonzero(~alive_np):
+        assert bpos[i] == cfg.slots
+
+
+def test_overflow_agents_keep_rec_vel():
+    """More agents in one tile than bucket slots: the dropped ones fall
+    back to the recommended velocity and occupancy reports the overflow."""
+    n = 12
+    cfg = BucketConfig.create(12.0, 12.0, (0.0, 0.0), 2.0,
+                              bucket=4, strip_tiles=2, sub_tiles=1)
+    f32 = jnp.float32
+    # All 12 agents inside one tile.
+    pos = jnp.asarray([[1.0 + 0.01 * i, 1.0] for i in range(n)], f32)
+    vel = jnp.zeros((n, 2), f32)
+    pref = jnp.zeros((n, 2), f32)
+    prio = jnp.arange(n, dtype=f32)
+    eye = jnp.full((n,), 2.0, f32)
+    alive = jnp.ones((n,), bool)
+    rec = jnp.asarray(np.tile([[0.5, -0.5]], (n, 1)), f32)
+    zp = make_params()
+    got, max_occ = zanlungo_fused(cfg, zp, pos, vel, pref, pref, prio, eye,
+                                  alive, rec, interpret=True)
+    assert int(max_occ) == 12
+    got = np.asarray(got)
+    # The 8 overflow agents (rank >= 4) pass rec through untouched.
+    np.testing.assert_allclose(got[4:], np.asarray(rec)[4:])
