@@ -302,6 +302,39 @@ class Simulation:
             for listener in self._event_listeners.values():
                 listener.agent_destroyed(int(destroyed_uid[slot]))
 
+    # -- spatial queries (the reference's public SpatialIndex surface,
+    #    spatial_index.rs:4-14) -----------------------------------------------
+
+    def get_neighbours_in_radius(self, radius: float, point) -> List[int]:
+        """Agent ids strictly within ``radius`` of ``point``
+        (location_hash_2d.rs:240-258 semantics: strict <)."""
+        from ..ops.neighbors import neighbors_in_radius
+
+        mask = neighbors_in_radius(
+            self.state.position,
+            self.state.alive,
+            jnp.asarray(radius, self.config.jdtype),
+            jnp.asarray(point, self.config.jdtype),
+        )
+        uid = np.asarray(self.state.uid)
+        return [int(uid[i]) for i in np.flatnonzero(np.asarray(mask))]
+
+    def get_nearest_neighbours(self, n: int, point) -> List[int]:
+        """The ``n`` nearest agent ids to ``point``, nearest first
+        (spatial_index.rs:7-8).  Exact — unlike the reference's ring scan,
+        which misses corner cells (location_hash_2d.rs:177-218)."""
+        from ..ops.neighbors import nearest_neighbors
+
+        idx, valid = nearest_neighbors(
+            self.state.position,
+            self.state.alive,
+            n,
+            jnp.asarray(point, self.config.jdtype),
+        )
+        uid = np.asarray(self.state.uid)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        return [int(uid[i]) for i, v in zip(idx, valid) if v]
+
     # -- checkpoint / resume (absent in the reference, SURVEY.md §5) ----------
 
     def save(self, path: str) -> None:

@@ -185,3 +185,16 @@ def test_sim_time_advances():
     sim.step(0.5)
     sim.step(0.25)
     assert abs(sim.sim_time - 0.75) < 1e-6
+
+
+def test_public_spatial_queries():
+    """Simulation-level kNN / radius queries (the reference exposes its
+    SpatialIndex to callers; spatial_index.rs:4-14)."""
+    sim = make_sim()
+    hl = ConstantVelocity((0.0, 0.0))
+    lp = NoLocalPlan()
+    ids = sim.add_agents([(0.0, 0.0), (1.0, 0.0), (3.0, 0.0)], hl, lp, 5.0)
+    near = sim.get_neighbours_in_radius(2.0, (0.0, 0.0))
+    assert set(near) == {ids[0], ids[1]}
+    knn = sim.get_nearest_neighbours(2, (0.9, 0.0))
+    assert knn == [ids[1], ids[0]]
