@@ -98,7 +98,9 @@ class SimConfig:
     # diagnostic).
     bucket_capacity: int = 16
     # Supertiles per kernel program (column strip) and per inner query
-    # sub-block.  strip_tiles must be a multiple of sub_tiles.
+    # sub-block.  strip_tiles must be a multiple of sub_tiles, and
+    # (sub_tiles + 2) * bucket_capacity must equal 128 (Mosaic alignment;
+    # see ops/zanlungo_pallas.BucketConfig).
     strip_tiles: int = 96
     sub_tiles: int = 6
     # Run the Pallas kernel in interpreter mode (CPU tests).

@@ -64,7 +64,9 @@ ROW_EYE = 7                 # eyesight radius (query side)
 ROW_RX, ROW_RY = 8, 9       # recommended velocity (query side)
 ROW_ID = 10                 # slot id (exact in f32; -1 = empty)
 ROW_SPX, ROW_SPY = 11, 12   # own fresh preferred velocity (query side)
-NUM_F = 13
+# Padded to 16 rows: Mosaic requires DMA slice extents in the sublane
+# dimension to align to the (8, 128) f32 tile.
+NUM_F = 16
 
 _POS_SENTINEL = 1e30
 
@@ -93,17 +95,53 @@ class BucketConfig:
         assert self.strip_tiles % self.sub_tiles == 0
         assert self.ty % self.strip_tiles == 0
         assert self.tx >= 3 and self.ty >= 3, "world must span >= 3 tiles"
+        # A candidate window spans sub_tiles + 2 tiles of one column; if
+        # that exceeds the column itself, the window bleeds into
+        # neighboring columns (the kernel's column mask handles overlap,
+        # but coverage of the true halo would be lost).
+        assert self.ty >= self.sub_tiles + 2, (
+            "ty must be >= sub_tiles + 2 (window must fit in a column)"
+        )
+        # Mosaic alignment requirements (see _make_kernel):
+        # - candidate DMA windows are lane-dim slices of the packed array;
+        #   offsets/extents must be 128-aligned.  The kernel aligns the
+        #   window start down to 128 and reads 2x128 lanes; full coverage
+        #   of the (sub_tiles + 2)-tile halo needs its slot extent == 128.
+        assert (self.sub_tiles + 2) * self.bucket == 128, (
+            "(sub_tiles + 2) * bucket must equal 128"
+        )
+        assert self.bucket % 8 == 0, "bucket must be a multiple of 8"
+        # - query/output slices ride the sublane dim (8-granular):
+        assert (self.sub_tiles * self.bucket) % 8 == 0
+        # - window clamping must preserve 128-alignment: a column must
+        #   hold a whole number of 128-lane groups.
+        assert (self.ty * self.bucket) % 128 == 0, (
+            "ty * bucket must be a multiple of 128"
+        )
 
     @classmethod
     def create(cls, width: float, height: float, offset: Tuple[float, float],
-               max_eyesight: float, bucket: int = 16, strip_tiles: int = 96,
-               sub_tiles: int = 6) -> "BucketConfig":
+               max_eyesight: float, bucket: int = 16,
+               strip_tiles: int = 96, sub_tiles: int | None = None
+               ) -> "BucketConfig":
+        if sub_tiles is None:
+            sub_tiles = 128 // bucket - 2  # (sub + 2) * bucket == 128
         tile = max(float(max_eyesight), 1e-6)
         tx = max(3, int(math.ceil(width / tile)))
         ty = max(3, int(math.ceil(height / tile)))
-        ty = int(math.ceil(ty / strip_tiles) * strip_tiles)
+        # Candidate windows must fit inside one column (see __post_init__);
+        # padding tiles beyond the world stay empty and cost only memory.
+        ty = max(ty, sub_tiles + 2)
+        # Shrink the strip for small worlds so ty padding stays minimal.
+        ty_rounded = int(math.ceil(ty / sub_tiles) * sub_tiles)
+        strip = min(int(strip_tiles // sub_tiles * sub_tiles), ty_rounded)
+        strip = max(strip, sub_tiles)
+        # ty must be a multiple of both the strip and 128/bucket.
+        align = max(1, 128 // bucket)
+        unit = strip * align // math.gcd(strip, align)
+        ty = int(math.ceil(ty / unit) * unit)
         return cls(tile_size=tile, offset=(float(offset[0]), float(offset[1])),
-                   tx=tx, ty=ty, bucket=bucket, strip_tiles=strip_tiles,
+                   tx=tx, ty=ty, bucket=bucket, strip_tiles=strip,
                    sub_tiles=sub_tiles)
 
 
@@ -160,6 +198,9 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             jnp.arange(n, dtype=f32),
             self_pref[:, 0].astype(f32),
             self_pref[:, 1].astype(f32),
+            jnp.zeros((n,), f32),  # pad rows 13-15
+            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
         ],
         axis=0,
     )  # [NUM_F, N]
@@ -293,7 +334,9 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     perp_mx = jnp.where(flip_m, -perp_mx, perp_mx)
     perp_my = jnp.where(flip_m, -perp_my, perp_my)
     moving_interp = (cfx * dx + cfy * dy) > 0
-    interpolate = jnp.where(stationary, True, moving_interp)
+    # == where(stationary, True, moving_interp); bool selects hit an
+    # unsupported i8->i1 truncation in Mosaic, plain logic doesn't.
+    interpolate = stationary | moving_interp
     perp_x = jnp.where(stationary, perp_sx, perp_mx)
     perp_y = jnp.where(stationary, perp_sy, perp_my)
 
@@ -334,7 +377,7 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
             jnp.where(mask, uy * scale, 0.0))
 
 
-def _make_kernel(cfg: BucketConfig):
+def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
@@ -343,52 +386,73 @@ def _make_kernel(cfg: BucketConfig):
     slots = cfg.slots
     ty, tx = cfg.ty, cfg.tx
 
+    win = 2 * 128  # DMA window: 2 aligned 128-lane groups
+
     def kernel(zp_ref, packed_any, qt_ref, out_ref, win_vmem, sem):
-        # win_vmem: [2, 3, NUM_F, sub_c] double-buffered candidate windows,
-        # DMA'd straight from HBM (DMA needs no lane alignment, unlike
-        # vector loads at dynamic lane offsets, which Mosaic rejects).
+        # Alignment strategy (Mosaic tiles every memref (8, 128), even in
+        # HBM, and requires 128-aligned lane offsets AND extents):
+        #   - candidate windows are lane-dim DMA slices of the packed
+        #     array, aligned DOWN to 128 and widened to 256 lanes; the
+        #     true (sub_tiles + 2)-tile halo (== 128 slots, asserted) is
+        #     always covered.  Cross-column bleed from the widened window
+        #     is killed by an explicit candidate-column mask;
+        #   - queries/outputs ride the SUBLANE dim of transposed arrays
+        #     ([slots, NUM_F] / [slots, 2]) where bucket-granular offsets
+        #     (multiples of 8) are legal.
+        # win_vmem: [2, 3, NUM_F, win] double-buffered windows.
         px = pl.program_id(0)
         ps = pl.program_id(1)
         py0 = ps * strip
 
         zp = (zp_ref[0], zp_ref[1], zp_ref[2], zp_ref[3])
         radius = zp_ref[3]
-        span_valid = [
-            (px + d >= 0) & (px + d < tx) for d in (-1, 0, 1)
-        ]
+        col_slots = ty * B
+
+        def win_start(s, k):
+            # Aligned window start covering tiles [py0 + s*qb - 1, +qb+2)
+            # of column px+k-1.  slots % 128 == 0 (asserted via ty*bucket),
+            # so the clip preserves the alignment; pl.multiple_of tells
+            # Mosaic, which cannot prove it through the floordiv+clip.
+            g = ((px + (k - 1)) * ty + py0 + s * qb - 1) * B
+            g_al = (g // 128) * 128
+            return pl.multiple_of(jnp.clip(g_al, 0, slots - win), 128)
 
         def win_dma(s, k, slot):
-            # Candidate window for sub-block s, column offset k-1: tiles
-            # [py0 + s*qb - 1, +qb+2) in column px+k-1, clamped into the
-            # array (clamping shifts stay within a column; shifted-in
-            # tiles are distance-masked).
-            g = (px + (k - 1)) * ty + py0 + s * qb - 1
-            g = jnp.clip(g * B, 0, slots - sub_c)
             return pltpu.make_async_copy(
-                packed_any.at[:, pl.ds(g, sub_c)],
+                packed_any.at[:, pl.ds(win_start(s, k), win)],
                 win_vmem.at[slot, k],
                 sem.at[slot, k],
             )
 
-        for k in range(3):
-            win_dma(0, k, 0).start()
+        if double_buffer:
+            for k in range(3):
+                win_dma(0, k, 0).start()
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
 
         def sub_block(s, _):
-            slot = jax.lax.rem(s, 2)
-            nslot = jax.lax.rem(s + 1, 2)
+            if double_buffer:
+                slot = jax.lax.rem(s, 2)
+                nslot = jax.lax.rem(s + 1, 2)
 
-            @pl.when(s + 1 < nsub)
-            def _():
+                @pl.when(s + 1 < nsub)
+                def _():
+                    for k in range(3):
+                        win_dma(s + 1, k, nslot).start()
+
                 for k in range(3):
-                    win_dma(s + 1, k, nslot).start()
-
-            for k in range(3):
-                win_dma(s, k, slot).wait()
+                    win_dma(s, k, slot).wait()
+            else:
+                slot = 0
+                for k in range(3):
+                    win_dma(s, k, 0).start()
+                for k in range(3):
+                    win_dma(s, k, 0).wait()
 
             q0 = s * sub_q
 
-            # Query features from the transposed copy: [sub_q, 1] (query
-            # dim in sublanes so pair matrices are [Q, C]).
+            # Query features: [sub_q, 1] sublane columns (queries in
+            # sublanes, candidates in lanes: pair matrices are [Q, C]).
             def qrow(r):
                 return qt_ref[pl.ds(q0, sub_q), r:r + 1]
 
@@ -399,8 +463,9 @@ def _make_kernel(cfg: BucketConfig):
             qid_ = qrow(ROW_ID)
             qspx_, qspy_ = qrow(ROW_SPX), qrow(ROW_SPY)
 
+            # Candidate features: [1, win] lane rows.
             def crow(k, r):
-                return win_vmem[slot, k, r, :].reshape(1, sub_c)
+                return win_vmem[slot, k, r, :].reshape(1, win)
 
             # ---- pass 1: min time-to-collision over the three windows
             inf = jnp.float32(jnp.inf)
@@ -410,13 +475,18 @@ def _make_kernel(cfg: BucketConfig):
                 cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
                 cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
                 cid_ = crow(k, ROW_ID)
+                # The widened window may bleed into neighboring columns;
+                # only candidates from column px+k-1 are real (this also
+                # masks whole out-of-world columns).
+                cand_slot = win_start(s, k) + lane_iota
+                col_ok = (cand_slot // col_slots) == (px + (k - 1))
                 ttc, dist2 = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
                                        cvx_, cvy_, cpx_, cpy_, radius)
                 mask = (
                     (dist2 < qeye_ * qeye_)
                     & (cid_ != qid_)
                     & (cid_ >= 0)
-                    & span_valid[k]
+                    & col_ok
                 )
                 masks.append(mask)
                 ttc = jnp.where(mask, ttc, inf)
@@ -451,25 +521,28 @@ def _make_kernel(cfg: BucketConfig):
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
 
-    return kernel, q_len, sub_c
+    return kernel, q_len, win
 
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             double_buffer: bool = True):
     """Run the kernel over the packed array.
 
     zparams4: [4] f32 — (agent_scale, force_distance, agent_mass,
     agent_radius).  Returns [slots, 2] f32 velocities (rec + force/mass)
     per bucket slot.
     """
-    kernel, q_len, sub_c = _make_kernel(cfg)
+    kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer)
     n_strips = cfg.ty // cfg.strip_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cfg.tx, n_strips),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # full packed (DMA'd)
+            # Lane-major packed array pinned to HBM, manually DMA'd in
+            # 128-aligned windows.
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(                          # query strip (transposed)
                 (q_len, NUM_F),
                 lambda i, j, *_: (i * n_strips + j, 0),
@@ -482,7 +555,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, NUM_F, sub_c), jnp.float32),
+            pltpu.VMEM((2, 3, NUM_F, win), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )

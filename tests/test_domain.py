@@ -16,7 +16,7 @@ def test_domain_sharded_matches_single(seed):
     n = 128
     world = 48.0  # 16 tile columns over 8 devices -> 2 cols/device
     cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
-                              bucket=8, strip_tiles=4, sub_tiles=2)
+                              bucket=16, strip_tiles=6, sub_tiles=6)
     assert cfg.tx % 8 == 0
     mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), (WORLD_AXIS,))
     zp = make_params()

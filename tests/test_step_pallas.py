@@ -24,8 +24,8 @@ def build(backend):
         max_per_cell=48,
         max_eyesight=2.0,
         bucket_capacity=16,
-        strip_tiles=4,
-        sub_tiles=2,
+        strip_tiles=6,
+        sub_tiles=6,
         pallas_interpret=True,
         dtype="float32",
     )

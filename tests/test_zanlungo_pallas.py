@@ -55,7 +55,7 @@ def test_fused_matches_oracle(seed):
     world = 24.0
     eyesight_max = 3.0
     cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
-                              bucket=8, strip_tiles=4, sub_tiles=2)
+                              bucket=16, strip_tiles=6, sub_tiles=6)
     zp = make_params()
     scene = random_scene(seed, n, world, eyesight_max)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
@@ -76,7 +76,7 @@ def test_fused_under_jit():
     n = 64
     world = 16.0
     cfg = BucketConfig.create(world, world, (0.0, 0.0), 2.0,
-                              bucket=8, strip_tiles=4, sub_tiles=2)
+                              bucket=16, strip_tiles=6, sub_tiles=6)
     zp = make_params()
     scene = random_scene(7, n, world, 2.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
@@ -97,7 +97,7 @@ def test_bucketize_roundtrip():
     n = 40
     world = 12.0
     cfg = BucketConfig.create(world, world, (0.0, 0.0), 2.0,
-                              bucket=8, strip_tiles=2, sub_tiles=1)
+                              bucket=16, strip_tiles=6, sub_tiles=6)
     scene = random_scene(3, n, world, 2.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
     packed, bpos, max_occ = bucketize(cfg, pos, vel, pref_c, self_pref,
@@ -119,8 +119,8 @@ def test_overflow_agents_keep_rec_vel():
     """More agents in one tile than bucket slots: the dropped ones fall
     back to the recommended velocity and occupancy reports the overflow."""
     n = 12
-    cfg = BucketConfig.create(12.0, 12.0, (0.0, 0.0), 2.0,
-                              bucket=4, strip_tiles=2, sub_tiles=1)
+    cfg = BucketConfig.create(32.0, 32.0, (0.0, 0.0), 2.0,
+                              bucket=8, strip_tiles=14, sub_tiles=14)
     f32 = jnp.float32
     # All 12 agents inside one tile.
     pos = jnp.asarray([[1.0 + 0.01 * i, 1.0] for i in range(n)], f32)
@@ -135,5 +135,5 @@ def test_overflow_agents_keep_rec_vel():
                                   alive, rec, interpret=True)
     assert int(max_occ) == 12
     got = np.asarray(got)
-    # The 8 overflow agents (rank >= 4) pass rec through untouched.
-    np.testing.assert_allclose(got[4:], np.asarray(rec)[4:])
+    # The 4 overflow agents (rank >= bucket == 8) pass rec through.
+    np.testing.assert_allclose(got[8:], np.asarray(rec)[8:])
