@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_bench(n_agents: int, dtype: str = "float32"):
+def build_bench(n_agents: int, dtype: str = "float32",
+                backend: str = "grid_pallas"):
     """Dense-crowd Zanlungo scene at ``n_agents`` (BASELINE.json config 5:
     dense corridors stressing grid rebinning + force-kernel occupancy)."""
     from rmf_crowdsim_tpu import (
@@ -45,9 +46,10 @@ def build_bench(n_agents: int, dtype: str = "float32"):
         capacity=n_agents,
         grid=GridConfig(width=side, height=side, cell_size=cell,
                         offset=(-side / 2, -side / 2)),
-        neighbor_backend="grid",
+        neighbor_backend=backend,
         max_per_cell=16,
         max_eyesight=2.0,
+        bucket_capacity=16,
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))
@@ -76,13 +78,14 @@ def build_bench(n_agents: int, dtype: str = "float32"):
     return rollout, params, state
 
 
-def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3):
+def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3,
+               backend: str = "grid_pallas"):
     """Returns (steps_per_sec, p50_step_ms) for the scene at n_agents.
 
     NOTE: sync via a host scalar fetch, NOT block_until_ready — through the
     axon TPU tunnel block_until_ready returns before remote execution
     finishes, producing fantasy timings."""
-    rollout, params, state = build_bench(n_agents)
+    rollout, params, state = build_bench(n_agents, backend=backend)
     run = jax.jit(rollout, static_argnums=(3,))
     # Warmup / compile; the float() fetch forces completion.
     st, _ = run(params, state, 1.0 / 60.0, n_steps)
@@ -103,20 +106,31 @@ def main():
                     help="headline agent count")
     ap.add_argument("--quick", action="store_true",
                     help="skip the secondary configs")
+    ap.add_argument("--backend", default=None,
+                    help="neighbor backend (grid_pallas | grid | brute)")
     args = ap.parse_args()
 
-    backend = jax.devices()[0].platform
-    extra = {"backend": backend, "device": str(jax.devices()[0])}
+    platform = jax.devices()[0].platform
+    extra = {"backend": platform, "device": str(jax.devices()[0])}
 
     headline_n = args.n
     sps = p50 = None
-    for attempt_n in (headline_n, 262_144, 65_536):
+    # Ladder: fused Pallas backend at full scale, then the pure-XLA grid
+    # backend at reduced scales if the kernel path fails.
+    if args.backend:
+        ladder = [(headline_n, args.backend), (262_144, args.backend)]
+    else:
+        ladder = [(headline_n, "grid_pallas"), (headline_n, "grid"),
+                  (262_144, "grid"), (65_536, "grid")]
+    for attempt_n, be in ladder:
         try:
-            sps, p50 = time_steps(attempt_n, n_steps=20)
+            sps, p50 = time_steps(attempt_n, n_steps=20, backend=be)
             headline_n = attempt_n
+            extra["neighbor_backend"] = be
             break
         except Exception as e:  # OOM / worker crash: recover, shrink scale
-            print(f"bench at n={attempt_n} failed: {e!r}", file=sys.stderr)
+            print(f"bench at n={attempt_n} ({be}) failed: {e!r}",
+                  file=sys.stderr)
             extra["fallback"] = True
             time.sleep(75)  # TPU worker restart after a crash takes ~1 min
     if sps is None:
@@ -132,7 +146,9 @@ def main():
             if n >= headline_n:
                 continue
             try:
-                s, p = time_steps(n, n_steps=50 if n <= 10_000 else 20)
+                s, p = time_steps(n, n_steps=50 if n <= 10_000 else 20,
+                                  backend=extra.get("neighbor_backend",
+                                                    "grid"))
                 extra[f"steps_per_sec_{n}"] = round(s, 1)
                 extra[f"p50_step_ms_{n}"] = round(p, 3)
             except Exception as e:
