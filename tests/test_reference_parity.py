@@ -1,0 +1,117 @@
+"""Trajectory parity vs the sequential reference-semantics oracle
+(tests/reference_oracle.py) — the BASELINE.md bitwise-match goal, on
+order-independent configs, in float64.
+
+Two scenarios:
+1. ~1k streaming agents (SourceSink + MonotonicCrowd + sink removal) with
+   a constant-velocity planner — the scaled-up event_listeners_test.rs
+   scenario.
+2. Mixed static agents with per-id directions (the viz stub semantics).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu import (
+    ConstantVelocity,
+    GridConfig,
+    NoLocalPlan,
+    ParityVelocity,
+    SimConfig,
+    Simulation,
+    SourceSink,
+    MonotonicCrowd,
+)
+from tests.reference_oracle import OracleSim, OracleSource
+
+
+def positions_of(sim: Simulation):
+    return {k: v.position for k, v in sim.agents.items()}
+
+
+def test_streaming_trajectories_match_oracle_bitwise():
+    """1k-scale streaming: 25 sources x ~40 live agents each, 60 steps.
+    Positions must match the sequential oracle BITWISE (float64; both
+    sides compute p + v*dt with the same f64 ops)."""
+    cfg = SimConfig(
+        capacity=2048,
+        grid=GridConfig(4000.0, 4000.0, 20.0, (-2000.0, -2000.0)),
+        neighbor_backend="brute",
+        dtype="float64",
+    )
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+
+    lp = NoLocalPlan()
+    n_sources = 25
+    for s in range(n_sources):
+        # Sources spread out; sinks 40 m away; speed 1 m/s; dt 1 s.
+        y = (s - n_sources / 2) * 50.0
+        hl = ConstantVelocity((1.0, 0.0))
+        sim.add_source_sink(
+            SourceSink(source=(0.0, y), waypoints=[(40.0, y)],
+                       radius_sink=1.0, crowd_generator=MonotonicCrowd(1.0),
+                       high_level_planner=hl, local_planner=lp,
+                       agent_eyesight_range=5.0)
+        )
+
+        def mk(vel):
+            def hl_fn(agent, t):
+                return vel
+            return hl_fn
+
+        oracle.add_source(OracleSource(
+            source=(0.0, y), waypoints=[(40.0, y)], radius_sink=1.0,
+            rate=1.0, eyesight=5.0, hl=mk((1.0, 0.0)),
+        ))
+
+    peak = 0
+    for step in range(60):
+        sim.step(1.0)
+        oracle.step(1.0)
+        got = positions_of(sim)
+        want = {aid: a.position for aid, a in oracle.agents.items()}
+        assert got.keys() == want.keys(), f"step {step}"
+        peak = max(peak, len(got))
+        for k in got:
+            assert got[k][0] == want[k][0] and got[k][1] == want[k][1], (
+                step, k, got[k], want[k]
+            )
+    assert peak >= 975  # ~1k concurrently-alive agents at steady state
+
+
+def test_parity_velocity_matches_oracle():
+    """Static population with id-parity directions (viz stub,
+    main.rs:26-29): 400 agents, 50 steps, bitwise float64 parity."""
+    cfg = SimConfig(capacity=512, neighbor_backend="brute", dtype="float64")
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+
+    hl = ParityVelocity((0.7, 1.3))
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-100, 100, (400, 2))
+    ids = sim.add_agents([tuple(p) for p in pts], hl, NoLocalPlan(), 10.0)
+
+    def hl_fn(agent, t):
+        v = (0.7, 1.3)
+        return (-v[0], -v[1]) if agent.agent_id % 2 == 0 else v
+
+    for p, aid in zip(pts, ids):
+        got_id = oracle.add_agent(tuple(p), hl_fn, 10.0)
+        assert got_id == aid
+
+    for step in range(50):
+        sim.step(1.0 / 60.0)
+        oracle.step(1.0 / 60.0)
+    got = positions_of(sim)
+    want = {aid: a.position for aid, a in oracle.agents.items()}
+    assert got.keys() == want.keys()
+    g = np.asarray([got[k] for k in sorted(got)])
+    w = np.asarray([want[k] for k in sorted(want)])
+    # XLA fuses p + v*dt into an FMA (one rounding) while the scalar
+    # oracle rounds the multiply and add separately — a <=1 ULP per-step
+    # difference that accumulates over the 50 steps.  (The streaming test
+    # above is exactly bitwise because its velocity*dt products are exact.)
+    np.testing.assert_array_max_ulp(g, w, maxulp=64)
