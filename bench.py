@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Pallas kernel compiles through the remote TPU tunnel take minutes; the
+# persistent cache makes repeat runs (and driver re-runs) instant.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_bench(n_agents: int, dtype: str = "float32",
                 backend: str = "grid_pallas"):

@@ -198,3 +198,27 @@ def test_public_spatial_queries():
     assert set(near) == {ids[0], ids[1]}
     knn = sim.get_nearest_neighbours(2, (0.9, 0.0))
     assert knn == [ids[1], ids[0]]
+
+
+def test_state_invariants_clean_and_violations():
+    """utils.validate: a healthy sim reports zero violations; corrupted
+    state is caught."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from rmf_crowdsim_tpu.utils.validate import check_state, validate_state
+
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    sim.add_agents([(0.0, 0.0), (1.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    sim.step(0.5)
+    check_state(sim.state)  # no raise
+    bad = sim.state.replace(
+        position=sim.state.position.at[0, 0].set(jnp.nan),
+        uid=sim.state.uid.at[1].set(sim.state.uid[0]),
+    )
+    report = {k: int(v) for k, v in validate_state(bad).items()}
+    assert report["nonfinite_position"] == 1
+    assert report["duplicate_live_uid"] == 1
+    with _pytest.raises(ValueError):
+        check_state(bad)
