@@ -58,8 +58,12 @@ def build_bench(n_agents: int, dtype: str = "float32",
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))
+    # Chunk the XLA-backend force pass at large N so [N,K] temporaries
+    # stay bounded (the Pallas backend never materializes them).
+    chunk = 32_768 if (backend == "grid" and n_agents > 65_536) else 0
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
-                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25)
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_chunk=chunk)
     rollout = build_rollout(config, [hl], [lp])
 
     state = make_state(config)

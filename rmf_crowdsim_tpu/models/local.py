@@ -149,6 +149,12 @@ def zanlungo_velocity(
     nbr_idx,  # [N, K] int32
     nbr_valid,  # [N, K] bool
     rec_vel,  # [N, 2] recommended velocity from the high-level planner
+    *,
+    # Optional distinct query rows (for chunked evaluation: queries are a
+    # slice of the agents while candidate gathers index the full arrays).
+    q_position=None,
+    q_velocity=None,
+    q_priority=None,
 ):
     """Batched Zanlungo get_desired_velocity (zanlungo.rs:201-218):
     ``rec_vel + total_force / agent_mass`` where forces only exist if some
@@ -161,6 +167,8 @@ def zanlungo_velocity(
     """
     dtype = position.dtype
     inf = jnp.asarray(jnp.inf, dtype)
+    if q_position is None:
+        q_position, q_velocity, q_priority = position, velocity, priority
 
     # Gather candidate fields: [N, K, 2] / [N, K]
     opos = position[nbr_idx]
@@ -168,10 +176,10 @@ def zanlungo_velocity(
     opref = pref_committed[nbr_idx]
     oprio = priority[nbr_idx]
 
-    mypos = position[:, None, :]
-    myvel = velocity[:, None, :]
+    mypos = q_position[:, None, :]
+    myvel = q_velocity[:, None, :]
     mypref = self_pref[:, None, :]
-    myprio = priority[:, None]
+    myprio = q_priority[:, None]
 
     # ---- compute_tti: min time-to-collision over neighbors
     # (zanlungo.rs:76-91)
@@ -256,7 +264,14 @@ def zanlungo_velocity(
 
 class Zanlungo(LocalPlanner):
     """Zanlungo et al. social-force local planner (zanlungo.rs; the readme
-    calls the reference implementation "incomplete", readme.md:22)."""
+    calls the reference implementation "incomplete", readme.md:22).
+
+    ``force_chunk``: if > 0, the batched force pass runs under ``lax.map``
+    over agent chunks of this size, bounding the [chunk, K] temporaries
+    instead of materializing [N, K] ones — the memory-lean path for the
+    XLA backends at large N (the grid_pallas kernel never materializes
+    either way).  Must divide the capacity.
+    """
 
     def __init__(
         self,
@@ -266,6 +281,7 @@ class Zanlungo(LocalPlanner):
         force_distance: float,
         agent_mass: float,
         agent_radius: float,
+        force_chunk: int = 0,
     ):
         self._p = (
             agent_scale,
@@ -275,6 +291,7 @@ class Zanlungo(LocalPlanner):
             agent_mass,
             agent_radius,
         )
+        self.force_chunk = int(force_chunk)
 
     def init_params(self):
         s, o, r, f, m, rad = self._p
@@ -288,17 +305,55 @@ class Zanlungo(LocalPlanner):
         )
 
     def plan(self, params, state: SimState, nbr: NeighborSet, rec_vel, self_pref):
-        return zanlungo_velocity(
-            params,
-            state.position,
-            state.velocity,
-            self_pref,
-            state.preferred_vel,
-            state.priority,
-            nbr.idx,
-            nbr.valid,
-            rec_vel,
+        n = state.capacity
+        c = self.force_chunk
+        if c <= 0 or n <= c or n % c != 0:
+            return zanlungo_velocity(
+                params,
+                state.position,
+                state.velocity,
+                self_pref,
+                state.preferred_vel,
+                state.priority,
+                nbr.idx,
+                nbr.valid,
+                rec_vel,
+            )
+
+        # Chunked: per-agent rows are split [n/c, c, ...]; the full
+        # position/velocity/pref/priority arrays stay shared (candidate
+        # gathers index into them globally).
+        def chunk_fn(args):
+            qpos, qvel, qprio, sp, idx, valid, rec = args
+            return zanlungo_velocity(
+                params,
+                state.position,
+                state.velocity,
+                sp,
+                state.preferred_vel,
+                state.priority,
+                idx,
+                valid,
+                rec,
+                q_position=qpos,
+                q_velocity=qvel,
+                q_priority=qprio,
+            )
+
+        k = nbr.idx.shape[1]
+        out = jax.lax.map(
+            chunk_fn,
+            (
+                state.position.reshape(n // c, c, 2),
+                state.velocity.reshape(n // c, c, 2),
+                state.priority.reshape(n // c, c),
+                self_pref.reshape(n // c, c, 2),
+                nbr.idx.reshape(n // c, c, k),
+                nbr.valid.reshape(n // c, c, k),
+                rec_vel.reshape(n // c, c, 2),
+            ),
         )
+        return out.reshape(n, 2)
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False):
