@@ -182,6 +182,9 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         jnp.int32(cfg.slots),
     )
 
+    # Row-major [N, NUM_F] feature assembly: row gathers/scatters are
+    # contiguous on TPU (the column-wise [NUM_F, N] variant was 10x
+    # slower); the kernel wrapper takes both packed_t and its transpose.
     f32 = jnp.float32
     feat = jnp.stack(
         [
@@ -202,23 +205,23 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             jnp.zeros((n,), f32),
             jnp.zeros((n,), f32),
         ],
-        axis=0,
-    )  # [NUM_F, N]
-    feat_sorted = feat[:, order]
+        axis=-1,
+    )  # [N, NUM_F]
+    feat_sorted = feat[order]  # row gather
 
-    sentinel = jnp.zeros((NUM_F, 1), f32)
-    sentinel = sentinel.at[ROW_PX].set(_POS_SENTINEL)
-    sentinel = sentinel.at[ROW_PY].set(_POS_SENTINEL)
-    sentinel = sentinel.at[ROW_ID].set(-1.0)
-    packed = jnp.broadcast_to(sentinel, (NUM_F, cfg.slots))
-    packed = packed.at[:, bpos_sorted].set(feat_sorted, mode="drop")
+    sentinel = jnp.zeros((1, NUM_F), f32)
+    sentinel = sentinel.at[0, ROW_PX].set(_POS_SENTINEL)
+    sentinel = sentinel.at[0, ROW_PY].set(_POS_SENTINEL)
+    sentinel = sentinel.at[0, ROW_ID].set(-1.0)
+    packed_t = jnp.broadcast_to(sentinel, (cfg.slots, NUM_F))
+    packed_t = packed_t.at[bpos_sorted].set(feat_sorted, mode="drop")
 
     bucket_pos = (
         jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
     )
     counts = starts[1:] - starts[:-1]
     max_occ = jnp.max(counts).astype(jnp.int32)
-    return packed, bucket_pos, max_occ
+    return packed_t, bucket_pos, max_occ
 
 
 # ---------------------------------------------------------------------------
@@ -524,14 +527,14 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
     return kernel, q_len, win
 
 
-def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed,
+def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
                              double_buffer: bool = True):
     """Run the kernel over the packed array.
 
     zparams4: [4] f32 — (agent_scale, force_distance, agent_mass,
-    agent_radius).  Returns [slots, 2] f32 velocities (rec + force/mass)
-    per bucket slot.
+    agent_radius); packed_t: [slots, NUM_F] from bucketize.  Returns
+    [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
     kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer)
     n_strips = cfg.ty // cfg.strip_tiles
@@ -564,7 +567,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32), packed, packed.T)
+    )(zparams4.astype(jnp.float32), packed_t.T, packed_t)
 
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
@@ -578,7 +581,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     ``rec_vel`` — audit via the returned occupancy.
     """
     dtype = position.dtype
-    packed, bucket_pos, max_occ = bucketize(
+    packed_t, bucket_pos, max_occ = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive,
     )
@@ -588,7 +591,8 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         zp.agent_mass.astype(jnp.float32),
         zp.agent_radius.astype(jnp.float32),
     ])
-    out = zanlungo_forces_bucketed(cfg, zparams4, packed, interpret=interpret)
+    out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
+                                   interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive
     vel = out[safe].astype(dtype)

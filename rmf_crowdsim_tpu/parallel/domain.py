@@ -42,14 +42,14 @@ WORLD_AXIS = "world_x"
 
 
 def _sentinel_block(col_slots: int):
-    s = jnp.zeros((NUM_F, col_slots), jnp.float32)
-    s = s.at[ROW_PX].set(_POS_SENTINEL)
-    s = s.at[ROW_PY].set(_POS_SENTINEL)
-    s = s.at[ROW_ID].set(-1.0)
+    s = jnp.zeros((col_slots, NUM_F), jnp.float32)
+    s = s.at[:, ROW_PX].set(_POS_SENTINEL)
+    s = s.at[:, ROW_PY].set(_POS_SENTINEL)
+    s = s.at[:, ROW_ID].set(-1.0)
     return s
 
 
-def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed,
+def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
                           interpret: bool = False):
     """Run the fused force kernel with the world sharded over
     ``mesh[WORLD_AXIS]``.  ``cfg.tx`` must divide by the mesh size.
@@ -61,23 +61,23 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed,
     local_cfg = dataclasses.replace(cfg, tx=cols_per + 2)
     sentinel = _sentinel_block(col_slots)
 
-    def local(z4, block):  # block: [NUM_F, cols_per * col_slots]
+    def local(z4, block):  # block: [cols_per * col_slots, NUM_F]
         i = jax.lax.axis_index(WORLD_AXIS)
         # Halo exchange: my last column -> right neighbor (their left
         # halo), my first column -> left neighbor (their right halo).
         # Devices with no sender receive zeros; overwrite with sentinels
         # (zeros would read as live agents at the origin).
         left = jax.lax.ppermute(
-            block[:, -col_slots:], WORLD_AXIS,
+            block[-col_slots:], WORLD_AXIS,
             [(k, k + 1) for k in range(d - 1)],
         )
         right = jax.lax.ppermute(
-            block[:, :col_slots], WORLD_AXIS,
+            block[:col_slots], WORLD_AXIS,
             [(k + 1, k) for k in range(d - 1)],
         )
         left = jnp.where(i == 0, sentinel, left)
         right = jnp.where(i == d - 1, sentinel, right)
-        ext = jnp.concatenate([left, block, right], axis=1)
+        ext = jnp.concatenate([left, block, right], axis=0)
         out_ext = zanlungo_forces_bucketed(local_cfg, z4, ext,
                                            interpret=interpret)
         # Drop the halo columns' (wasted) query outputs.
@@ -86,11 +86,11 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed,
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, WORLD_AXIS)),
+        in_specs=(P(), P(WORLD_AXIS, None)),
         out_specs=P(WORLD_AXIS, None),
         check_vma=False,
     )
-    return fn(zparams4.astype(jnp.float32), packed)
+    return fn(zparams4.astype(jnp.float32), packed_t)
 
 
 def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
@@ -99,7 +99,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     """Domain-sharded version of ops.zanlungo_pallas.zanlungo_fused: same
     signature + mesh; same results."""
     dtype = position.dtype
-    packed, bucket_pos, max_occ = bucketize(
+    packed_t, bucket_pos, max_occ = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive,
     )
@@ -109,7 +109,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
         zp.agent_mass.astype(jnp.float32),
         zp.agent_radius.astype(jnp.float32),
     ])
-    out = forces_domain_sharded(mesh, cfg, zparams4, packed,
+    out = forces_domain_sharded(mesh, cfg, zparams4, packed_t,
                                 interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive
