@@ -140,6 +140,7 @@ def build_step(
     config: SimConfig,
     hl_planners: Sequence[Any],
     lp_planners: Sequence[Any],
+    world_mesh=None,
 ):
     """Construct ``step(params, state, dt) -> (state, events)``.
 
@@ -147,6 +148,10 @@ def build_step(
     changing them retraces); agents select by ``state.hl_idx`` /
     ``state.lp_idx``, replacing the reference's per-agent
     ``Arc<Mutex<dyn Planner>>`` maps (lib.rs:77-79).
+
+    ``world_mesh``: optional jax Mesh with axis ``"world_x"``; the
+    grid_pallas force pass then runs domain-decomposed across it
+    (parallel/domain.py) — cfg.tx must divide the mesh size.
     """
     hl_planners = tuple(hl_planners)
     lp_planners = tuple(lp_planners)
@@ -165,6 +170,14 @@ def build_step(
             config.max_eyesight, bucket=config.bucket_capacity,
             strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
         )
+        if world_mesh is not None:
+            import dataclasses as _dc
+
+            d = world_mesh.devices.size
+            if bucket_cfg.tx % d:
+                bucket_cfg = _dc.replace(
+                    bucket_cfg, tx=(bucket_cfg.tx // d + 1) * d
+                )
 
     def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
         if config.neighbor_backend == BACKEND_BRUTE:
@@ -230,6 +243,7 @@ def build_step(
                     v, occ = planner.plan_fused(
                         params.lp[i], bucket_cfg, state, vel, self_pref,
                         interpret=config.pallas_interpret,
+                        world_mesh=world_mesh,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                 else:

@@ -356,10 +356,21 @@ class Zanlungo(LocalPlanner):
         return out.reshape(n, 2)
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
-                   self_pref, interpret: bool = False):
+                   self_pref, interpret: bool = False, world_mesh=None):
         """Fused neighbor-search + force Pallas kernel path (the
-        grid_pallas backend; ops/zanlungo_pallas.py).  Returns
+        grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
+        the kernel runs domain-decomposed over the mesh's world columns
+        with ppermute halo exchange (parallel/domain.py).  Returns
         (vel [N,2], max_tile_occupancy)."""
+        if world_mesh is not None:
+            from ..parallel.domain import zanlungo_fused_domain
+
+            return zanlungo_fused_domain(
+                world_mesh, bucket_cfg, params, state.position,
+                state.velocity, self_pref, state.preferred_vel,
+                state.priority, state.eyesight, state.alive, rec_vel,
+                interpret=interpret,
+            )
         from ..ops.zanlungo_pallas import zanlungo_fused
 
         return zanlungo_fused(

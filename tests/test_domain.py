@@ -35,3 +35,50 @@ def test_domain_sharded_matches_single(seed):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_full_step_with_domain_mesh_matches_single():
+    """build_step(world_mesh=...) runs the entire step with the force pass
+    domain-decomposed; trajectories must match the single-device step."""
+    import jax.numpy as jnp
+
+    from rmf_crowdsim_tpu import (GridConfig, ParityVelocity, SimConfig,
+                                  SimParams, Zanlungo, build_step, make_state)
+
+    cfg = SimConfig(
+        capacity=64,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        pallas_interpret=True,
+        dtype="float32",
+    )
+    hl = ParityVelocity((1.0, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 2.0, 2.0, 0.3)
+    rng = np.random.default_rng(1)
+    state = make_state(cfg)
+    f = cfg.jdtype
+    pos = rng.uniform(2.0, 46.0, (64, 2))
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.full((64,), 3.0, f),
+        alive=jnp.ones((64,), bool),
+        uid=jnp.arange(64, dtype=jnp.int32),
+        priority=jnp.arange(64, dtype=f),
+        next_uid=jnp.asarray(64, jnp.int32),
+    )
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=None)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), (WORLD_AXIS,))
+
+    step1 = jax.jit(build_step(cfg, [hl], [lp]))
+    step2 = jax.jit(build_step(cfg, [hl], [lp], world_mesh=mesh))
+    s1, _ = step1(params, state, 0.1)
+    s2, _ = step2(params, state, 0.1)
+    np.testing.assert_allclose(np.asarray(s1.position),
+                               np.asarray(s2.position), rtol=1e-6, atol=1e-6)
