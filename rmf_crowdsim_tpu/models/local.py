@@ -71,6 +71,12 @@ class ZanlungoParams:
     parity.  Per-agent right-of-way priorities live in ``SimState.priority``
     (the reference's ``agent_priorities`` HashMap with its ``agent_id as
     f64`` default, zanlungo.rs:94-98, 183-184).
+
+    ``force_cap`` is OUR extension: the reference clamps the force
+    magnitude at a hard-coded 1e15 (zanlungo.rs:165-167), so overlapping
+    agents (time-to-collision 0) get flung to ~1e14 positions in one step
+    — its own demo parameters do this.  The default keeps reference
+    behavior; finite caps (~10-100x agent_scale) make dense crowds usable.
     """
 
     agent_scale: jax.Array
@@ -79,6 +85,9 @@ class ZanlungoParams:
     force_distance: jax.Array
     agent_mass: jax.Array
     agent_radius: jax.Array
+    force_cap: jax.Array = struct.field(
+        default_factory=lambda: jnp.asarray(1e15)
+    )
 
 
 def _dot(a, b):
@@ -246,9 +255,9 @@ def zanlungo_velocity(
     safe_t = jnp.where(t_i > 0, t_i, 1.0)[:, None]
     magnitude = weight * p.agent_scale.astype(dtype) * speed_diff / safe_t
     # t_i == 0 (agents currently overlapping): reference divides by zero ->
-    # +inf, then clamps to 1e15 (zanlungo.rs:165-167).
+    # +inf, then clamps to 1e15 (zanlungo.rs:165-167; configurable here).
     magnitude = jnp.where((t_i == 0)[:, None] & (speed_diff * weight > 0), inf, magnitude)
-    magnitude = jnp.minimum(magnitude, 1e15)
+    magnitude = jnp.minimum(magnitude, p.force_cap.astype(dtype))
 
     falloff = jnp.exp(-surface_dist / p.force_distance.astype(dtype))
     force = d_unit * (magnitude * falloff)[..., None]  # [N, K, 2]
@@ -282,6 +291,7 @@ class Zanlungo(LocalPlanner):
         agent_mass: float,
         agent_radius: float,
         force_chunk: int = 0,
+        force_cap: float = 1e15,  # the reference's clamp (zanlungo.rs:167)
     ):
         self._p = (
             agent_scale,
@@ -290,11 +300,12 @@ class Zanlungo(LocalPlanner):
             force_distance,
             agent_mass,
             agent_radius,
+            force_cap,
         )
         self.force_chunk = int(force_chunk)
 
     def init_params(self):
-        s, o, r, f, m, rad = self._p
+        s, o, r, f, m, rad, cap = self._p
         return ZanlungoParams(
             agent_scale=jnp.asarray(s),
             obstacle_scale=jnp.asarray(o),
@@ -302,6 +313,7 @@ class Zanlungo(LocalPlanner):
             force_distance=jnp.asarray(f),
             agent_mass=jnp.asarray(m),
             agent_radius=jnp.asarray(rad),
+            force_cap=jnp.asarray(cap),
         )
 
     def plan(self, params, state: SimState, nbr: NeighborSet, rec_vel, self_pref):

@@ -308,7 +308,7 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
                 cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask):
     """Pairwise force [Q, C] given per-query min TTC ``t_i`` [Q, 1]
     (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity)."""
-    agent_scale, force_distance, _mass, radius = zp
+    agent_scale, force_distance, _mass, radius, force_cap = zp
 
     # right_of_way_vel (zanlungo.rs:173-198)
     row = jnp.clip(qprio - cprio, -1.0, 1.0)
@@ -381,7 +381,7 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     inf = jnp.float32(jnp.inf)
     magnitude = jnp.where((t_i == 0) & (speed_diff * weight > 0), inf,
                           magnitude)
-    magnitude = jnp.minimum(magnitude, 1e15)
+    magnitude = jnp.minimum(magnitude, force_cap)
     falloff = jnp.exp(-surface_dist / force_distance)
     scale = magnitude * falloff
     # Select AFTER the multiply: masked lanes hold sentinel-driven inf/NaN
@@ -417,7 +417,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
         ps = pl.program_id(1)
         py0 = ps * strip
 
-        zp = (zp_ref[0], zp_ref[1], zp_ref[2], zp_ref[3])
+        zp = (zp_ref[0], zp_ref[1], zp_ref[2], zp_ref[3], zp_ref[4])
         radius = zp_ref[3]
         col_slots = ty * B
 
@@ -542,8 +542,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              double_buffer: bool = True):
     """Run the kernel over the packed array.
 
-    zparams4: [4] f32 — (agent_scale, force_distance, agent_mass,
-    agent_radius); packed_t: [slots, NUM_F] from bucketize.  Returns
+    zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
+    agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
     [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
     kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer)
@@ -600,6 +600,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         zp.force_distance.astype(jnp.float32),
         zp.agent_mass.astype(jnp.float32),
         zp.agent_radius.astype(jnp.float32),
+        zp.force_cap.astype(jnp.float32),
     ])
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret)

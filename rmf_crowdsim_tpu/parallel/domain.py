@@ -108,6 +108,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
         zp.force_distance.astype(jnp.float32),
         zp.agent_mass.astype(jnp.float32),
         zp.agent_radius.astype(jnp.float32),
+        zp.force_cap.astype(jnp.float32),
     ])
     out = forces_domain_sharded(mesh, cfg, zparams4, packed_t,
                                 interpret=interpret)
