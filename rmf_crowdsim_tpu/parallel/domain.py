@@ -21,7 +21,6 @@ the full agent state that plain agent-sharding needs.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -222,3 +222,68 @@ def test_state_invariants_clean_and_violations():
     assert report["duplicate_live_uid"] == 1
     with _pytest.raises(ValueError):
         check_state(bad)
+
+
+def test_remove_source_sink_stops_spawning():
+    """lib.rs:164-168: removing a SourceSink stops its spawns; existing
+    agents keep flowing to the sink (reference TODO keeps them too)."""
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    ss = SourceSink(
+        source=(0.0, 0.0), waypoints=[(20.0, 0.0)], radius_sink=1.0,
+        crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
+        local_planner=NoLocalPlan(), agent_eyesight_range=5.0,
+    )
+    sid = sim.add_source_sink(ss)
+    for _ in range(5):
+        sim.step(1.0)
+    assert sim.num_agents == 5
+    sim.remove_source_sink(sid)
+    for _ in range(5):
+        sim.step(1.0)
+    assert sim.num_agents == 5  # no new spawns
+    for _ in range(15):
+        sim.step(1.0)
+    assert sim.num_agents == 0  # the existing ones still reach the sink
+
+
+def test_remove_event_listener():
+    sim = make_sim()
+    listener = MockEventListener()
+    lid = sim.add_event_listener(listener)
+    hl = ConstantVelocity((0.0, 0.0))
+    sim.add_agents([(0.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    assert len(listener.added) == 1
+    sim.remove_event_listener(lid)
+    sim.add_agents([(1.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    assert len(listener.added) == 1  # not called after removal
+
+
+def test_set_priority_changes_right_of_way():
+    """zanlungo.rs:17: per-agent priority overrides change which agent
+    yields.  Symmetric head-on pair: the lower-priority agent slows."""
+    from rmf_crowdsim_tpu import Zanlungo
+
+    def run(prio_a, prio_b):
+        cfg = SimConfig(capacity=4, neighbor_backend="brute",
+                        dtype="float64")
+        sim = Simulation(cfg)
+        hl = ConstantVelocity((0.0, 0.0))  # parked base velocity
+        z = Zanlungo(1.0, 1.0, 0.0, 2.0, 2.0, 0.3)
+        ids = sim.add_agents([(0.0, 0.0), (1.0, 0.0)], hl, z, 5.0)
+        # give them opposing velocities via state so TTC is finite
+        import jax.numpy as jnp
+
+        sim.state = sim.state.replace(
+            velocity=jnp.asarray([[1.0, 0.0], [-1.0, 0.0], [0, 0], [0, 0]],
+                                 jnp.float64)
+        )
+        sim.set_priority(ids[0], prio_a)
+        sim.set_priority(ids[1], prio_b)
+        sim.step(0.01)
+        return {k: v.velocity for k, v in sim.agents.items()}
+
+    va = run(0.0, 1.0)
+    vb = run(1.0, 0.0)
+    # Asymmetric priorities produce asymmetric responses.
+    assert va[0] != vb[0] or va[1] != vb[1]
