@@ -15,27 +15,27 @@ Layout ("cell list" in particle-code terms):
 2.  Agents are binned into per-tile *buckets* of ``bucket`` slots
     (sort-by-tile + rank; overflow agents keep their recommended velocity
     and are reported via the occupancy diagnostic).
-3.  All per-agent features are packed into one ``[F, tx*ty*bucket]`` f32
+3.  All per-agent features are packed into one ``[tx*ty*bucket, F]`` f32
     array; empty slots hold sentinels (position 1e30 => distance-masked).
 4.  Kernel grid = (tx, ty/strip_tiles): each program owns a *column strip*
-    of ``strip_tiles`` tiles.  It DMAs three contiguous spans — the strip
-    columns at tcx-1, tcx, tcx+1, each with one halo tile above and below
-    — into VMEM, then loops over ``sub_tiles``-sized query sub-blocks
-    computing pairwise TTC + forces against the three matching span
-    windows.  Because ``tile_size >= eyesight``, every true neighbor of a
+    of ``strip_tiles`` tiles and loops over ``sub_tiles``-sized query
+    sub-blocks, double-buffer-DMAing each sub-block's three candidate
+    windows (the sub-block's tile range +-1 halo tile, in columns tcx-1,
+    tcx, tcx+1) HBM->VMEM and computing pairwise TTC + forces against
+    them.  Because ``tile_size >= eyesight``, every true neighbor of a
     query lies inside those windows; everything else is masked by the
     exact ``dist < eyesight`` test (strict <, matching
     location_hash_2d.rs:251).
 
 Correctness notes:
 
-- Span starts are clamped into the array; clamping only ever shifts a
-  span within its own column, so a query's three candidate windows are
-  three disjoint contiguous ranges — no pair is ever double-counted.
-  Shifted-in tiles are >= tile_size away and distance-masked.
-- Column wrap-around (the halo tile of a strip at the column edge) lands
-  in a spatially distant tile and is likewise distance-masked; this
-  requires the world to span >= 3 tiles per axis (asserted).
+- Window starts are 128-aligned (Mosaic requirement) by aligning down and
+  reading twice the needed width; an explicit candidate-column mask kills
+  the cross-column bleed the widening introduces, so no pair is ever
+  double-counted.
+- Column wrap-around (the halo tile of a window at the column edge) lands
+  in a spatially distant tile and is distance-masked; this requires the
+  world to span >= 3 tiles per axis (asserted).
 - Self-pairs are excluded by slot-id equality (slot ids are exact in f32
   up to 2^24 — capacity is asserted below that).
 - The force math mirrors models/local.py line for line (which itself
@@ -157,8 +157,8 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive):
     """Pack agent features into the bucketed layout.
 
-    Returns (packed [NUM_F, slots] f32, bucket_pos [N] int32 (== slots for
-    dropped/dead agents), max_tile_occupancy [] int32).
+    Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
+    for dropped/dead agents), max_tile_occupancy [] int32).
     """
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
