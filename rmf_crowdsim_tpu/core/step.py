@@ -61,10 +61,16 @@ class SimParams:
 def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     """Phase A (lib.rs:199-254): per active source, ask its generator for a
     count; if positive and no alive agent sits strictly within
-    ``spawn_clearance`` of the source (pre-spawn state, hard-coded 0.4 in
-    the reference, lib.rs:214), spawn exactly ONE agent at the source.
-    Surplus requested spawns are dropped (no queue; reference TODO at
-    lib.rs:209-211)."""
+    ``spawn_clearance`` of the source (hard-coded 0.4 in the reference,
+    lib.rs:214), spawn exactly ONE agent at the source.  Surplus requested
+    spawns are dropped (no queue; reference TODO at lib.rs:209-211).
+
+    Documented divergence: the clearance gate here reads PRE-spawn state
+    for all sources at once (vectorized), while the reference iterates
+    sources sequentially, so a reference spawn from an earlier source in
+    the same step can block a later co-located source (lib.rs:146 inserts
+    into the index mid-phase).  Identical unless two sources sit within
+    ``spawn_clearance`` of each other."""
     n = config.capacity
     f = config.jdtype
     s = sp.source.shape[0]
