@@ -113,6 +113,89 @@ def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3,
     return n_steps / best, (best / n_steps) * 1e3
 
 
+def time_rmf_routing(n_agents: int = 10_000, n_steps: int = 20):
+    """BASELINE.md config 4: RMF building YAML + Zanlungo, multi-room
+    routing at ~10k agents.  Returns steps/sec."""
+    from rmf_crowdsim_tpu import (
+        GridConfig,
+        SimConfig,
+        SimParams,
+        Zanlungo,
+        make_state,
+    )
+    from rmf_crowdsim_tpu.core.step import build_rollout
+    from rmf_crowdsim_tpu.models.rmf import RMFPlanner
+
+    # A 200x100 m hall with 4 internal walls leaving door gaps.
+    verts, walls = [], []
+    outer = [(0.0, 0.0), (200.0, 0.0), (200.0, 100.0), (0.0, 100.0)]
+    verts += outer
+    walls += [(0, 1), (1, 2), (2, 3), (3, 0)]
+    for i, x in enumerate((40.0, 80.0, 120.0, 160.0)):
+        b = len(verts)
+        gap_lo = 40.0 + 5.0 * i
+        verts += [(x, 0.0), (x, gap_lo), (x, gap_lo + 12.0), (x, 100.0)]
+        walls += [(b, b + 1), (b + 2, b + 3)]
+
+    planner = RMFPlanner(verts, walls, scale=1.0, radius=0.4,
+                         max_routes=1024, max_route_len=64,
+                         arrival_tolerance=0.5)
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=10.0)
+    cfg = SimConfig(
+        capacity=n_agents,
+        grid=GridConfig(width=208.0, height=108.0, cell_size=2.0,
+                        offset=(-4.0, -4.0)),
+        neighbor_backend="grid",
+        max_per_cell=32,
+        max_eyesight=2.0,
+        dtype="float32",
+    )
+    state = make_state(cfg)
+    rng = np.random.default_rng(0)
+    f = cfg.jdtype
+    # 10k agents scattered through the hall, all routed to a far corner.
+    pos = np.stack([rng.uniform(2.0, 198.0, n_agents),
+                    rng.uniform(2.0, 98.0, n_agents)], axis=-1)
+    goal = (190.0, 90.0)
+    # Route each representative start once (the cell-rounded cache
+    # collapses this to a few hundred distinct routes).
+    reps_pos = pos[:: max(1, n_agents // 512)]
+    route_ids = np.asarray([
+        rid if (rid := planner.plan_route_cached(
+            (float(p[0]), float(p[1])), goal)) is not None else -1
+        for p in reps_pos
+    ])
+    # Assign every agent the route of its representative (coarse but keeps
+    # host planning off the clock); unrouted agents stay planless.
+    rep = np.arange(n_agents) // max(1, n_agents // 512)
+    rep = np.clip(rep, 0, len(route_ids) - 1)
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.full((n_agents,), 2.0, f),
+        alive=jnp.ones((n_agents,), bool),
+        uid=jnp.arange(n_agents, dtype=jnp.int32),
+        hl_idx=jnp.zeros((n_agents,), jnp.int32),
+        lp_idx=jnp.zeros((n_agents,), jnp.int32),
+        route_id=jnp.asarray(route_ids[rep], jnp.int32),
+        route_wp=jnp.zeros((n_agents,), jnp.int32),
+        priority=jnp.arange(n_agents, dtype=f),
+        next_uid=jnp.asarray(n_agents, jnp.int32),
+    )
+    params = SimParams(hl=(planner.init_params(),), lp=(lp.init_params(),),
+                       sources=None)
+    rollout = jax.jit(build_rollout(cfg, [planner], [lp]),
+                      static_argnums=(3,))
+    st, _ = rollout(params, state, 0.25, n_steps)
+    assert float(st.sim_time) > 0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, _ = rollout(params, state, 0.25, n_steps)
+        _ = float(st.sim_time)
+        best = min(best, time.perf_counter() - t0)
+    return n_steps / best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000,
@@ -155,6 +238,10 @@ def main():
     extra["agent_steps_per_sec"] = round(sps * headline_n)
 
     if not args.quick:
+        try:
+            extra["steps_per_sec_rmf10k"] = round(time_rmf_routing(), 1)
+        except Exception as e:
+            extra["steps_per_sec_rmf10k"] = f"failed: {e!r}"
         for n in (1_000, 100_000):
             if n >= headline_n:
                 continue
