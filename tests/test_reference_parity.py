@@ -115,3 +115,51 @@ def test_parity_velocity_matches_oracle():
     # difference that accumulates over the 50 steps.  (The streaming test
     # above is exactly bitwise because its velocity*dt products are exact.)
     np.testing.assert_array_max_ulp(g, w, maxulp=64)
+
+
+def test_multiwaypoint_and_looping_match_oracle():
+    """Multi-waypoint chains (advance, lib.rs:325-334) and loop_forever
+    wraparound (lib.rs:318-320) against the sequential oracle, bitwise."""
+    cfg = SimConfig(
+        capacity=256,
+        grid=GridConfig(1000.0, 1000.0, 20.0, (-500.0, -500.0)),
+        neighbor_backend="brute",
+        dtype="float64",
+    )
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+    lp = NoLocalPlan()
+
+    chains = [
+        # (source, waypoints, loop)
+        ((0.0, 0.0), [(10.0, 0.0), (20.0, 0.0), (30.0, 0.0)], False),
+        ((0.0, 50.0), [(6.0, 50.0)], True),  # loops forever
+        ((0.0, -50.0), [(8.0, -50.0), (16.0, -50.0)], True),
+    ]
+    for src, wps, loop in chains:
+        hl = ConstantVelocity((1.0, 0.0))
+        sim.add_source_sink(SourceSink(
+            source=src, waypoints=wps, radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
+            local_planner=lp, agent_eyesight_range=5.0, loop_forever=loop))
+
+        def mk():
+            def hl_fn(agent, t):
+                return (1.0, 0.0)
+            return hl_fn
+
+        oracle.add_source(OracleSource(
+            source=src, waypoints=list(wps), radius_sink=1.0, rate=1.0,
+            eyesight=5.0, loop_forever=loop, hl=mk()))
+
+    for step in range(50):
+        sim.step(1.0)
+        oracle.step(1.0)
+        got = {k: (v.position, v.next_waypoint)
+               for k, v in sim.agents.items()}
+        want = {aid: (a.position, a.next_waypoint)
+                for aid, a in oracle.agents.items()}
+        assert got.keys() == want.keys(), f"step {step}"
+        for k in got:
+            assert got[k][0] == want[k][0], (step, k)
+            assert got[k][1] == want[k][1], (step, k)
