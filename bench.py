@@ -54,11 +54,13 @@ def build_bench(n_agents: int, dtype: str = "float32",
         neighbor_backend=backend,
         max_per_cell=16,
         max_eyesight=2.0,
-        # bucket 8 halves the fused kernel's padded pair work vs 16; at
-        # ~2.5 agents/tile the overflow probability is ~0.1% of tiles.
-        bucket_capacity=8,
-        sub_tiles=14,
-        strip_tiles=98,
+        # Pair work scales with slots = area/tile^2 * bucket: big tiles +
+        # bucket 32 run at ~55% fill (vs 31% for bucket 8 at
+        # tile == eyesight) with overflow < 0.1% at this density.
+        bucket_capacity=32,
+        sub_tiles=2,
+        strip_tiles=96,
+        bucket_tile_size=5.3,
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))

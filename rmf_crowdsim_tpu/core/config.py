@@ -103,6 +103,10 @@ class SimConfig:
     # see ops/zanlungo_pallas.BucketConfig).
     strip_tiles: int = 96
     sub_tiles: int = 6
+    # Supertile size override for the fused kernel (0 = max_eyesight, the
+    # correctness minimum; larger tiles + larger buckets cut pair work —
+    # see ops/zanlungo_pallas.BucketConfig.create).
+    bucket_tile_size: float = 0.0
     # Run the Pallas kernel in interpreter mode (CPU tests).
     pallas_interpret: bool = False
 

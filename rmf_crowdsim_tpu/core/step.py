@@ -175,6 +175,7 @@ def build_step(
             config.grid.width, config.grid.height, config.grid.offset,
             config.max_eyesight, bucket=config.bucket_capacity,
             strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
+            tile_size=config.bucket_tile_size or None,
         )
         if world_mesh is not None:
             import dataclasses as _dc

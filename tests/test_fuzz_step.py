@@ -71,3 +71,43 @@ def test_backends_agree_on_random_scenes(seed):
                 snaps["grid_pallas"][k], snaps["brute"][k],
                 rtol=2e-4, atol=2e-4,
                 err_msg=f"grid_pallas vs brute, agent {k}, step {step}")
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_big_tile_bucket32_matches(seed):
+    """Larger supertiles with bucket 32 (the perf configuration) produce
+    the same trajectories as brute force."""
+    def build32(backend):
+        cfg = SimConfig(
+            capacity=64,
+            grid=GridConfig(width=36.0, height=36.0, cell_size=3.0,
+                            offset=(0.0, 0.0)),
+            neighbor_backend=backend,
+            max_per_cell=64,
+            max_eyesight=3.0,
+            bucket_capacity=32,
+            strip_tiles=4,
+            sub_tiles=2,
+            bucket_tile_size=6.0,
+            pallas_interpret=True,
+            dtype="float32",
+        )
+        rng = np.random.default_rng(seed)
+        sim = Simulation(cfg, seed=seed)
+        hl = ParityVelocity((1.0, 0.4))
+        lp = Zanlungo(1.2, 1.0, 0.0, 1.5, 2.0, 0.25, force_cap=100.0)
+        pts = rng.uniform(3.0, 33.0, (24, 2))
+        sim.add_agents([tuple(p) for p in pts], hl, lp, 3.0)
+        return sim
+
+    a = build32("brute")
+    b = build32("grid_pallas")
+    for step in range(10):
+        a.step(0.2)
+        b.step(0.2)
+        pa = {k: v.position for k, v in a.agents.items()}
+        pb = {k: v.position for k, v in b.agents.items()}
+        assert pa.keys() == pb.keys()
+        for k in pa:
+            np.testing.assert_allclose(pb[k], pa[k], rtol=2e-4, atol=2e-4,
+                                       err_msg=f"agent {k} step {step}")
