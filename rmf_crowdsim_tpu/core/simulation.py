@@ -226,6 +226,10 @@ class Simulation:
     # -- stepping -------------------------------------------------------------
 
     def _rebuild(self) -> None:
+        """Refresh the params pytree; re-jit the step only when the
+        planner registries changed (param-value changes — new routes,
+        new sources — reuse the compiled step, which matters when the
+        Pallas backend's compiles take minutes)."""
         hl_params = tuple(p.init_params() for p in self._hl_planners)
         lp_params = tuple(p.init_params() for p in self._lp_planners)
         sources = None
@@ -257,10 +261,18 @@ class Simulation:
                     act = act.at[i].set(False)
                 sources = sources.replace(active=act)
         self._params = SimParams(hl=hl_params, lp=lp_params, sources=sources)
-        self._step_fn = jax.jit(
-            build_step(self.config, self._hl_planners, self._lp_planners),
-            donate_argnums=(1,),
+        registry_key = (
+            tuple(id(p) for p in self._hl_planners),
+            tuple(id(p) for p in self._lp_planners),
         )
+        if self._step_fn is None or registry_key != getattr(
+            self, "_step_key", None
+        ):
+            self._step_fn = jax.jit(
+                build_step(self.config, self._hl_planners, self._lp_planners),
+                donate_argnums=(1,),
+            )
+            self._step_key = registry_key
         self._dirty = False
 
     def step(self, dt: float) -> None:
