@@ -260,8 +260,9 @@ def _pair_ttc(qvx, qvy, qpx, qpy, cvx, cvy, cpx, cpy, radius):
     disc = b * b - 4.0 * a * c
     safe_a = jnp.where(a > 0, a, 1.0)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-b - sq) / (2.0 * safe_a)
-    t1 = (-b + sq) / (2.0 * safe_a)
+    inv2a = 0.5 / safe_a  # one division instead of two
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
     inf = jnp.float32(jnp.inf)
     opposite = ((t0 < 0) & (t1 > 0)) | ((t1 < 0) & (t0 > 0))
     res = jnp.where(
@@ -318,10 +319,11 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity)."""
     agent_scale, force_distance, _mass, radius, force_cap = zp
 
-    # right_of_way_vel (zanlungo.rs:173-198)
+    # right_of_way_vel (zanlungo.rs:173-198); sqrt(|row|) computed once
     row = jnp.clip(qprio - cprio, -1.0, 1.0)
-    r2n = jnp.sqrt(jnp.maximum(-row, 0.0))
-    r2p = jnp.sqrt(jnp.maximum(row, 0.0))
+    r2 = jnp.sqrt(jnp.abs(row))
+    r2n = jnp.where(row < 0, r2, 0.0)
+    r2p = jnp.where(row > 0, r2, 0.0)
     w = jnp.where(row < 0, -r2n, jnp.where(row > 0, r2p, 0.0))
     pos_row = row > 0
     neg_row = row < 0
@@ -364,11 +366,11 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     sin_theta = jnp.minimum(jnp.abs(perp_x * dy - perp_y * dx), 1.0)
     theta = _asin01(sin_theta)
     t_s = weight - 1.0
-    safe_sin = jnp.where(sin_theta > 0, sin_theta, 1.0)
+    inv_sin = 1.0 / jnp.where(sin_theta > 0, sin_theta, 1.0)
     # (1-t)theta and t*theta both lie in [0, pi/2]: t in (0, 1] whenever
     # the slerp branch is live (weight in (1, 2], zanlungo.rs:152).
-    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI)) / safe_sin
-    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI)) / safe_sin
+    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI)) * inv_sin
+    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI)) * inv_sin
     sl_x = jnp.where(sin_theta > 0, dx * s0 + perp_x * s1, dx)
     sl_y = jnp.where(sin_theta > 0, dy * s0 + perp_y * s1, dy)
     use_slerp = (weight > 1.0) & interpolate
