@@ -107,7 +107,10 @@ class SimConfig:
     # correctness minimum; larger tiles + larger buckets cut pair work —
     # see ops/zanlungo_pallas.BucketConfig.create).
     bucket_tile_size: float = 0.0
-    # Run the Pallas kernel in interpreter mode (CPU tests).
+    # Use the MXU one-hot pack kernel instead of the XLA row scatter when
+    # building the bucketed layout (ops/pack_pallas.py).
+    use_pack_kernel: bool = False
+    # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
 
     @property

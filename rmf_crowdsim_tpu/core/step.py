@@ -251,6 +251,7 @@ def build_step(
                         params.lp[i], bucket_cfg, state, vel, self_pref,
                         interpret=config.pallas_interpret,
                         world_mesh=world_mesh,
+                        use_pack_kernel=config.use_pack_kernel,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                 else:

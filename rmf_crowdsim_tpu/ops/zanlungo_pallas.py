@@ -162,7 +162,8 @@ class BucketConfig:
 
 
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
-              self_pref, priority, eyesight, rec_vel, alive):
+              self_pref, priority, eyesight, rec_vel, alive,
+              use_pack_kernel: bool = False, interpret: bool = False):
     """Pack agent features into the bucketed layout.
 
     Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
@@ -218,20 +219,32 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             jnp.arange(n, dtype=f32),
             self_pref[:, 0].astype(f32),
             self_pref[:, 1].astype(f32),
-            jnp.zeros((n,), f32),  # pad rows 13-15
-            jnp.zeros((n,), f32),
-            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
+            jnp.zeros((n,), f32),  # row 14: spare
+            jnp.ones((n,), f32),   # row 15: 1.0 (pack-kernel hit counter)
         ],
         axis=-1,
     )  # [N, NUM_F]
     feat_sorted = feat[order]  # row gather
 
-    sentinel = jnp.zeros((1, NUM_F), f32)
-    sentinel = sentinel.at[0, ROW_PX].set(_POS_SENTINEL)
-    sentinel = sentinel.at[0, ROW_PY].set(_POS_SENTINEL)
-    sentinel = sentinel.at[0, ROW_ID].set(-1.0)
-    packed_t = jnp.broadcast_to(sentinel, (cfg.slots, NUM_F))
-    packed_t = packed_t.at[bpos_sorted].set(feat_sorted, mode="drop")
+    if use_pack_kernel:
+        # MXU one-hot pack kernel (ops/pack_pallas.py): replaces the XLA
+        # row scatter, whose ~137 ns/row overhead dominates bucketize.
+        from .pack_pallas import ROW_BPOS, pack_rows_pallas
+
+        feat_sorted = feat_sorted.at[:, ROW_BPOS].set(
+            bpos_sorted.astype(f32)
+        )
+        packed_t, _pack_overflow = pack_rows_pallas(
+            feat_sorted, bpos_sorted, cfg.slots, interpret=interpret
+        )
+    else:
+        sentinel = jnp.zeros((1, NUM_F), f32)
+        sentinel = sentinel.at[0, ROW_PX].set(_POS_SENTINEL)
+        sentinel = sentinel.at[0, ROW_PY].set(_POS_SENTINEL)
+        sentinel = sentinel.at[0, ROW_ID].set(-1.0)
+        packed_t = jnp.broadcast_to(sentinel, (cfg.slots, NUM_F))
+        packed_t = packed_t.at[bpos_sorted].set(feat_sorted, mode="drop")
 
     bucket_pos = (
         jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
@@ -592,7 +605,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
-                   interpret: bool = False):
+                   interpret: bool = False, use_pack_kernel: bool = False):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -603,7 +616,8 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     dtype = position.dtype
     packed_t, bucket_pos, max_occ = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
-        eyesight, rec_vel, alive,
+        eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
+        interpret=interpret,
     )
     zparams4 = jnp.stack([
         zp.agent_scale.astype(jnp.float32),

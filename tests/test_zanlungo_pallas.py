@@ -137,3 +137,44 @@ def test_overflow_agents_keep_rec_vel():
     got = np.asarray(got)
     # The 4 overflow agents (rank >= bucket == 8) pass rec through.
     np.testing.assert_allclose(got[8:], np.asarray(rec)[8:])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pack_kernel_matches_scatter(seed):
+    """The MXU one-hot pack kernel (ops/pack_pallas.py) must produce the
+    exact same packed array as the XLA scatter path."""
+    n = 96
+    world = 24.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    scene = random_scene(seed, n, world, 3.0)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+    a = bucketize(cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive,
+                  use_pack_kernel=False)
+    b = bucketize(cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive,
+                  use_pack_kernel=True, interpret=True)
+    pa, ba, _ = a
+    pb, bb, _ = b
+    np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+    pa, pb = np.asarray(pa), np.asarray(pb)
+    # Identical on the meaningful rows (the scatter path leaves 0 in the
+    # bpos/hit columns of sentinel rows; the pack path leaves 0 too except
+    # col 13 on real rows — compare the kernel-consumed rows 0..12).
+    np.testing.assert_array_equal(pa[:, :13], pb[:, :13])
+
+
+def test_fused_with_pack_kernel_matches_oracle():
+    n = 96
+    world = 24.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    scene = random_scene(1, n, world, 3.0)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+    got, _ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c, prio,
+                            eye, alive, rec, interpret=True,
+                            use_pack_kernel=True)
+    want = oracle(zp, scene)
+    m = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
+                               rtol=2e-4, atol=2e-4)
