@@ -61,6 +61,7 @@ def build_bench(n_agents: int, dtype: str = "float32",
         sub_tiles=2,
         strip_tiles=96,
         bucket_tile_size=5.3,
+        use_pack_kernel=(backend == "grid_pallas"),
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))

@@ -29,10 +29,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .zanlungo_pallas import NUM_F, ROW_ID, ROW_PX, ROW_PY, _POS_SENTINEL
+
+# Sentinel row as a host constant: .at[].set inside a kernel lowers to a
+# scatter primitive, which Mosaic does not implement.
+_SENT_NP = np.zeros((1, NUM_F), np.float32)
+_SENT_NP[0, ROW_PX] = _POS_SENTINEL
+_SENT_NP[0, ROW_PY] = _POS_SENTINEL
+_SENT_NP[0, ROW_ID] = -1.0
 
 ROW_BPOS = 13   # bucket slot of this row, as f32
 ROW_ONE = 15    # constant 1.0 on real rows (hit counting)
@@ -43,14 +51,18 @@ MAX_CHUNKS = 4      # rows streamed per group <= CHUNK * MAX_CHUNKS
 
 
 def _make_kernel(n_pad: int, slots: int):
-    def kernel(meta_ref, feat_any, out_ref, chunks, region, sem):
+    def kernel(meta_ref, feat_t_any, sent_ref, out_ref, chunks, region, sem):
+        # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
+        # DMA lane offsets/extents to be 128-aligned, so row chunks are
+        # read lane-major at 128-aligned starts (meta is align128'd).
         g = pl.program_id(0)
-        r0 = meta_ref[g]  # 8-aligned first row streamed for this group
+        r0 = meta_ref[g]
 
         def chunk_dma(c, slot):
             start = jnp.clip(r0 + c * CHUNK, 0, n_pad - CHUNK)
+            start = pl.multiple_of(start, 128)
             return pltpu.make_async_copy(
-                feat_any.at[pl.ds(start, CHUNK), :],
+                feat_t_any.at[:, pl.ds(start, CHUNK)],
                 chunks.at[slot],
                 sem.at[slot],
             )
@@ -68,31 +80,43 @@ def _make_kernel(n_pad: int, slots: int):
                 chunk_dma(c + 1, nslot).start()
 
             chunk_dma(c, slot).wait()
-            rows = chunks[slot]  # [CHUNK, NUM_F]
-            # Local slot within the group; rows not in this group (other
-            # groups' rows, dropped rows with slot == slots, padding)
-            # select nothing.
-            local = rows[:, ROW_BPOS:ROW_BPOS + 1] - base  # [CHUNK, 1]
-            mine = (local >= 0.0) & (local < float(GROUP))
-            local = jnp.where(mine, local, -1.0)
-            iota = jax.lax.broadcasted_iota(jnp.float32, (1, GROUP), 1)
-            onehot_t = (local == iota).astype(jnp.float32)  # [CHUNK, GROUP]
-            # region += onehot_t.T @ rows  (exact: 0/1 weights)
-            region[...] = region[...] + jax.lax.dot_general(
-                onehot_t, rows,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+
+            # A chunk whose unclipped start would overrun the array holds
+            # only padding (n <= n_pad - CHUNK by construction) AND the
+            # clipped DMA re-read REAL rows — accumulating it would
+            # double-add them.  Skip it entirely.
+            @pl.when(r0 + c * CHUNK <= n_pad - CHUNK)
+            def _():
+                rows_t = chunks[slot]  # [NUM_F, CHUNK]
+                # Local slot within the group; rows not in this group
+                # (other groups' rows, dropped rows with slot == slots,
+                # padding) select nothing.
+                local = rows_t[ROW_BPOS:ROW_BPOS + 1, :] - base  # [1, CHUNK]
+                mine = (local >= 0.0) & (local < float(GROUP))
+                local = jnp.where(mine, local, -1.0)
+                # tpu.iota only supports integer types; the int->f32
+                # convert is exact for these magnitudes.
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (GROUP, 1), 0
+                ).astype(jnp.float32)
+                onehot = (iota == local).astype(jnp.float32)  # [GROUP, CHUNK]
+                # region += onehot @ rows_t.T.  Precision.HIGHEST forces
+                # the full bf16x3 f32 decomposition on the MXU: with 0/1
+                # weights the placement is then BITWISE exact (the default
+                # single-pass bf16 multiply truncates mantissas).
+                region[...] = region[...] + jax.lax.dot_general(
+                    onehot, rows_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
             return 0
 
         jax.lax.fori_loop(0, MAX_CHUNKS, body, 0)
 
         filled = region[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
-        sent = jnp.zeros((1, NUM_F), jnp.float32)
-        sent = sent.at[0, ROW_PX].set(_POS_SENTINEL)
-        sent = sent.at[0, ROW_PY].set(_POS_SENTINEL)
-        sent = sent.at[0, ROW_ID].set(-1.0)
-        out_ref[...] = region[...] + (1.0 - filled) * sent
+        out_ref[...] = region[...] + (1.0 - filled) * sent_ref[...]
 
     return kernel
 
@@ -120,7 +144,7 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     row_lo = jnp.searchsorted(
         mono, jnp.arange(n_groups, dtype=jnp.int32) * GROUP, side="left"
     ).astype(jnp.int32)
-    r0 = (row_lo // 8) * 8  # 8-aligned DMA starts
+    r0 = (row_lo // 128) * 128  # 128-aligned DMA starts (lane dim)
 
     # Overflow audit: rows belonging to group g live in
     # [row_lo[g], row_lo[g+1]) (plus interleaved drops); the kernel streams
@@ -138,19 +162,21 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     pad = n_pad - n
     pad_rows = jnp.zeros((pad, NUM_F), jnp.float32)
     pad_rows = pad_rows.at[:, ROW_BPOS].set(float(slots))
-    feat_pad = jnp.concatenate([feat_sorted, pad_rows], axis=0)
+    feat_t_pad = jnp.concatenate([feat_sorted, pad_rows], axis=0).T
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, NUM_F), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (GROUP, NUM_F), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NUM_F), jnp.float32),
+            pltpu.VMEM((2, NUM_F, CHUNK), jnp.float32),
             pltpu.VMEM((GROUP, NUM_F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -160,5 +186,5 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
         out_shape=jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(r0, feat_pad)
+    )(r0, feat_t_pad, jnp.asarray(_SENT_NP))
     return packed[:slots], overflow
