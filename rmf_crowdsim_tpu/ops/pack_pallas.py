@@ -5,16 +5,18 @@ XLA's row scatter costs ~137 ns/row on this stack (measured: 137 ms for
 piece of the per-step bucketize.  This kernel replaces it:
 
 - The packed array [slots, NUM_F] is split into *slot groups* of
-  ``G = 1024`` slots; kernel program g exclusively owns group g (blocked
+  ``GROUP`` slots; kernel program g exclusively owns group g (blocked
   output spec — no write races, no prefill, complete coverage).
 - Each program streams the sorted feature rows whose bucket slots fall in
   its group (a contiguous row range, precomputed in jnp from the
-  monotone envelope of the slot sequence), in double-buffered chunks of
-  256 rows.
+  monotone envelope of the slot sequence), lane-major (Mosaic demands
+  128-aligned lane offsets/extents) in double-buffered chunks.
 - Placement is a one-hot matmul on the MXU:
-  ``region[G, F] = sum_c onehot_c[256, G].T @ chunk_c[256, F]``
+  ``region[G, F] = sum_c onehot_c[G, 256] @ chunk_c[F, 256].T``
   via ``dot_general`` contracting the row dim — no transposes needed.
-  0/1 weights make the f32 matmul an EXACT row placement.
+  0/1 weights with ``Precision.HIGHEST`` (full bf16x3 f32 decomposition)
+  make the placement BITWISE exact; the default single-pass MXU f32
+  truncates mantissas.
 - Row 15 of every real feature row is 1.0, so ``region[:, 15]`` counts
   hits; empty slots blend in the sentinel row algebraically:
   ``region += (1 - region[:, 15:16]) * sentinel_row``.
