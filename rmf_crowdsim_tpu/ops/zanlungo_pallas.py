@@ -163,8 +163,12 @@ class BucketConfig:
 
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
-              use_pack_kernel: bool = False, interpret: bool = False):
+              use_pack_kernel: bool = False, interpret: bool = False,
+              extra=None):
     """Pack agent features into the bucketed layout.
+
+    ``extra``: optional [N] f32 carried in feature row 14 (used by the
+    persistent rollout to keep agent uids across slot-space rebins).
 
     Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
     for dropped/dead agents), max_tile_occupancy [] int32).
@@ -220,7 +224,8 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             self_pref[:, 0].astype(f32),
             self_pref[:, 1].astype(f32),
             jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
-            jnp.zeros((n,), f32),  # row 14: spare
+            (extra.astype(f32) if extra is not None
+             else jnp.zeros((n,), f32)),  # row 14: caller payload
             jnp.ones((n,), f32),   # row 15: 1.0 (pack-kernel hit counter)
         ],
         axis=-1,

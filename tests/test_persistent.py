@@ -1,0 +1,86 @@
+"""Persistent bucket-native rollout vs the general step: same
+trajectories, far fewer rebins."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu import (
+    GridConfig,
+    ParityVelocity,
+    SimConfig,
+    SimParams,
+    Zanlungo,
+    build_step,
+    make_state,
+)
+from rmf_crowdsim_tpu.core.persistent import build_persistent_rollout
+
+
+def scene(n=48, world=36.0):
+    cfg = SimConfig(
+        capacity=n,
+        grid=GridConfig(width=world, height=world, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=32,
+        strip_tiles=4,
+        sub_tiles=2,
+        bucket_tile_size=6.0,
+        pallas_interpret=True,
+        dtype="float32",
+    )
+    hl = ParityVelocity((1.0, 0.4))
+    lp = Zanlungo(1.2, 1.0, 0.0, 1.5, 2.0, 0.25, force_cap=20.0)
+    rng = np.random.default_rng(3)
+    state = make_state(cfg)
+    f = cfg.jdtype
+    pos = rng.uniform(3.0, world - 3.0, (n, 2))
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.full((n,), 3.0, f),
+        alive=jnp.ones((n,), bool),
+        uid=jnp.arange(n, dtype=jnp.int32),
+        hl_idx=jnp.zeros((n,), jnp.int32),
+        lp_idx=jnp.zeros((n,), jnp.int32),
+        priority=jnp.arange(n, dtype=f),
+        next_uid=jnp.asarray(n, jnp.int32),
+    )
+    return cfg, hl, lp, state
+
+
+@pytest.mark.parametrize("n_steps,dt", [(10, 0.05), (25, 0.1)])
+def test_persistent_matches_general_step(n_steps, dt):
+    cfg, hl, lp, state = scene()
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=None)
+
+    step = jax.jit(build_step(cfg, [hl], [lp]))
+    s = state
+    for _ in range(n_steps):
+        s, _ = step(params, s, dt)
+
+    rollout = build_persistent_rollout(cfg, hl, lp)
+    run = jax.jit(rollout, static_argnums=(4,))
+    p, info = run(hl.init_params(), lp.init_params(), state, dt, n_steps)
+
+    np.testing.assert_allclose(np.asarray(p.position), np.asarray(s.position),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p.velocity), np.asarray(s.velocity),
+                               rtol=1e-5, atol=1e-5)
+    # The whole point: rebins are far rarer than steps.  skin = (6-3)/2 =
+    # 1.5 m; speed ~1.1 m/s -> a rebin every ~1.5/(1.1*dt) steps at most.
+    assert int(info["n_rebins"]) < n_steps
+    assert abs(float(p.sim_time) - n_steps * dt) < 1e-4
+
+
+def test_persistent_rebins_trigger():
+    """With a long horizon the skin criterion must fire at least once."""
+    cfg, hl, lp, state = scene()
+    rollout = build_persistent_rollout(cfg, hl, lp)
+    run = jax.jit(rollout, static_argnums=(4,))
+    p, info = run(hl.init_params(), lp.init_params(), state, 0.1, 40)
+    assert int(info["n_rebins"]) >= 1
+    assert np.isfinite(np.asarray(p.position)).all()
