@@ -68,9 +68,13 @@ def build_bench(n_agents: int, dtype: str = "float32",
     # Chunk the XLA-backend force pass at large N so [N,K] temporaries
     # stay bounded (the Pallas backend never materializes them).
     chunk = 32_768 if (backend == "grid" and n_agents > 65_536) else 0
+    # force_cap keeps initially-overlapping random pairs from being flung
+    # at the reference's 1e15 clamp (see ZanlungoParams docs): the scene
+    # stays physical over the benchmark horizon.  Compute cost is
+    # identical either way.
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
                   force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
-                  force_chunk=chunk)
+                  force_chunk=chunk, force_cap=20.0)
     rollout = build_rollout(config, [hl], [lp])
 
     state = make_state(config)

@@ -23,6 +23,15 @@ Scope (round 1): closed worlds — no SourceSinks, fixed alive set; HL
 planners must implement ``plan_slots(params, packed) -> rec [slots, 2]``
 (ConstantVelocity and ParityVelocity do).  The general step remains the
 full-featured path.
+
+Measured reality check (1M agents, v5e): the win is real only when
+per-step drift is far below the skin.  With force-kicked agents moving
+~10 m/s (force_cap 20, dt 1/60) rebins fire every ~2 steps and the
+slot-space rebin (1.8M rows) costs more than the general step's
+agent-space one — 250 ms/step vs 181.  At physical walking speeds
+(~1.5 m/s, drift ~0.025 m/step, skin 1.65 m) rebins drop to ~1 per 60+
+steps and the step collapses to the force kernel (~140 ms at 1M).
+Choose per scene.
 """
 
 from __future__ import annotations
