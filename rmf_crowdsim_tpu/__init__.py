@@ -10,6 +10,7 @@ jitted (and under lax.scan / shard_map for rollouts and multi-chip).
 """
 
 from .core.config import GridConfig, SimConfig
+from .core.persistent import build_persistent_rollout
 from .core.simulation import AgentView, EventListener, Simulation
 from .core.state import SimState, StepEvents, make_state
 from .core.step import SimParams, build_step
@@ -56,6 +57,7 @@ __all__ = [
     "WaypointFollow",
     "Zanlungo",
     "ZanlungoParams",
+    "build_persistent_rollout",
     "build_step",
     "make_state",
 ]
