@@ -74,3 +74,27 @@ def test_capacity_mismatch_rejected(tmp_path):
 
     with pytest.raises(ValueError):
         sim2.load(path)
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """The orbax checkpoint backend (sharded/async-capable) restores the
+    exact state."""
+    import numpy as np
+
+    from rmf_crowdsim_tpu.utils.checkpoint import (
+        load_state_orbax,
+        save_state_orbax,
+    )
+
+    sim = make_sim()
+    for _ in range(4):
+        sim.step(0.5)
+    path = str(tmp_path / "orbax_ckpt")
+    save_state_orbax(path, sim.state)
+    restored = load_state_orbax(path)
+    np.testing.assert_array_equal(np.asarray(restored.position),
+                                  np.asarray(sim.state.position))
+    np.testing.assert_array_equal(np.asarray(restored.uid),
+                                  np.asarray(sim.state.uid))
+    np.testing.assert_array_equal(np.asarray(restored.rng_key),
+                                  np.asarray(sim.state.rng_key))
