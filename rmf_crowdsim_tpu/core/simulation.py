@@ -77,6 +77,7 @@ class Simulation:
         self._event_listeners: Registry[EventListener] = Registry()
         self._params: Optional[SimParams] = None
         self._step_fn = None
+        self._rollout_fn = None
         self._dirty = True
 
     # -- planner registry ---------------------------------------------------
@@ -286,6 +287,29 @@ class Simulation:
         if want_events:
             self._dispatch_events(events)
         self.last_events = events
+
+    def run(self, n_steps: int, dt: float):
+        """Run ``n_steps`` steps in ONE device dispatch (lax.scan) — the
+        fast path when per-step EventListener callbacks are not needed
+        (listeners are not fired; per-step counters are returned instead).
+        Equivalent to calling :meth:`step` ``n_steps`` times."""
+        if self._dirty or self._step_fn is None:
+            self._rebuild()
+        if self._rollout_fn is None or getattr(
+            self, "_rollout_key", None
+        ) != self._step_key:
+            from .step import build_rollout
+
+            self._rollout_fn = jax.jit(
+                build_rollout(self.config, self._hl_planners,
+                              self._lp_planners),
+                static_argnums=(3,), donate_argnums=(1,),
+            )
+            self._rollout_key = self._step_key
+        self.state, counters = self._rollout_fn(
+            self._params, self.state, dt, int(n_steps)
+        )
+        return counters
 
     def _dispatch_events(self, events) -> None:
         spawned, destroyed, reached, spawn_pos, destroyed_uid, wp_pos, uid = (

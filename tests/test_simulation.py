@@ -287,3 +287,28 @@ def test_set_priority_changes_right_of_way():
     vb = run(1.0, 0.0)
     # Asymmetric priorities produce asymmetric responses.
     assert va[0] != vb[0] or va[1] != vb[1]
+
+
+def test_run_matches_stepping():
+    """Simulation.run(n, dt) (one lax.scan dispatch) equals n step() calls."""
+    def build():
+        sim = make_sim()
+        sim.add_source_sink(SourceSink(
+            source=(0.0, 0.0), waypoints=[(20.0, 0.0)], radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=ConstantVelocity((1.0, 0.0)),
+            local_planner=NoLocalPlan(), agent_eyesight_range=5.0))
+        return sim
+
+    a = build()
+    for _ in range(25):
+        a.step(1.0)
+    b = build()
+    counters = b.run(25, 1.0)
+    ga = {k: v.position for k, v in a.agents.items()}
+    gb = {k: v.position for k, v in b.agents.items()}
+    assert ga.keys() == gb.keys()
+    for k in ga:
+        assert ga[k] == gb[k]
+    import numpy as np
+    assert np.asarray(counters.n_alive)[-1] == a.num_agents
