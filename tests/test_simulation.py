@@ -312,3 +312,18 @@ def test_run_matches_stepping():
         assert ga[k] == gb[k]
     import numpy as np
     assert np.asarray(counters.n_alive)[-1] == a.num_agents
+
+
+def test_out_of_bounds_event_flag():
+    """An agent leaving the grid raises the out_of_bounds event flag
+    instead of erroring the step (the reference propagates
+    Err("Index out of bounds"), location_hash_2d.rs:61-63)."""
+    sim = make_sim()
+    hl = ConstantVelocity((1000.0, 0.0))  # leaves the 1000m grid in 1 step
+    (aid,) = sim.add_agents([(400.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    sim.step(1.0)
+    import numpy as np
+
+    assert np.asarray(sim.last_events.out_of_bounds).sum() == 1
+    # The agent keeps simulating (clamped to edge cells for binning).
+    assert sim.num_agents == 1
