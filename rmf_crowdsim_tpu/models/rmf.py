@@ -79,16 +79,18 @@ class RMFPlanner(WaypointFollow):
 
     @classmethod
     def from_yaml(cls, yaml_str: str, inflation: float, scale: float,
-                  agent_radius: float, **kw) -> "RMFPlanner":
-        """Parse an RMF building YAML (schema: ``levels.L1.vertices`` =
-        [[x, y, ...], ...], ``levels.L1.walls`` = [[i, j, ...], ...] —
-        rmf/mod.rs:137-158).  Like the reference, the ``inflation``
+                  agent_radius: float, level: str = "L1",
+                  **kw) -> "RMFPlanner":
+        """Parse an RMF building YAML (schema: ``levels.<level>.vertices``
+        = [[x, y, ...], ...], ``levels.<level>.walls`` = [[i, j, ...], ...]
+        — rmf/mod.rs:137-158; the reference hard-codes level "L1", which
+        stays the default here).  Like the reference, the ``inflation``
         parameter is accepted but unused (reference quirk, rmf/mod.rs:137);
         obstacles are inflated by ``agent_radius``."""
         import yaml
 
         doc = yaml.safe_load(yaml_str)
-        level = doc["levels"]["L1"]
+        level = doc["levels"][level]
         vertices = [(float(v[0]), float(v[1])) for v in level["vertices"]]
         walls = [(int(w[0]), int(w[1])) for w in level["walls"]]
         return cls(vertices, walls, scale=scale, radius=agent_radius, **kw)
