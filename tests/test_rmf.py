@@ -182,3 +182,26 @@ def test_set_target_api():
         sim.step(0.5)
     pos = sim.agents[aid].position
     assert math.dist(pos, (15.0, 2.0)) < 1.0
+
+
+def test_empty_world_is_all_free():
+    """No walls: every route is a straight shot."""
+    p = NumpyRoutePlanner([], [], 0.5, 0.3)
+    assert p.plan((0.0, 0.0), (10.0, 10.0)) == [(0.0, 0.0), (10.0, 10.0)]
+
+
+def test_out_of_range_wall_indices_ignored():
+    """Wall entries referencing nonexistent vertices are skipped (the
+    reference would panic on vertices[v1], rmf/mod.rs:107-108)."""
+    p = NumpyRoutePlanner([(0.0, 0.0), (4.0, 0.0)], [(0, 9)], 0.5, 0.2)
+    assert p.plan((1.0, 1.0), (3.0, 1.0)) == [(1.0, 1.0), (3.0, 1.0)]
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_native_route_buffer_overflow_raises():
+    """A max_waypoints too small for the route raises instead of
+    truncating silently."""
+    planner = NativeRoutePlanner(ROOM_VERTS, ROOM_WALLS, 0.5, 0.3,
+                                 max_waypoints=2)
+    with pytest.raises(RuntimeError):
+        planner.plan((5.0, 2.0), (15.0, 2.0))  # needs > 2 waypoints

@@ -178,3 +178,31 @@ def test_fused_with_pack_kernel_matches_oracle():
     m = np.asarray(alive)
     np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pack_kernel_overflow_diagnostic():
+    """Degenerate clustering (all agents in one tile, huge drop count)
+    reports window overflow instead of failing silently."""
+    from rmf_crowdsim_tpu.ops.pack_pallas import (
+        CHUNK,
+        MAX_CHUNKS,
+        pack_rows_pallas,
+    )
+    from rmf_crowdsim_tpu.ops.zanlungo_pallas import NUM_F
+
+    n = CHUNK * MAX_CHUNKS + 640  # more rows than one group window
+    slots = 512 * 4
+    feat = jnp.zeros((n, NUM_F), jnp.float32)
+    # All rows map to slot 0..7 (bucket 8 of tile 0); the rest dropped
+    # (bpos == slots) but interleaved AFTER, so the window must stream
+    # past them.
+    bpos = jnp.where(jnp.arange(n) < 8, jnp.arange(n), slots).astype(
+        jnp.int32
+    )
+    feat = feat.at[:, 13].set(bpos.astype(jnp.float32))
+    feat = feat.at[:, 15].set(1.0)
+    packed, overflow = pack_rows_pallas(feat, bpos, slots, interpret=True)
+    # Everything needed fits (8 real rows at the window start): overflow
+    # counts only the unreachable tail rows of group 0's row range.
+    assert packed.shape == (slots, NUM_F)
+    assert int(overflow) >= 0  # diagnostic is well-defined
