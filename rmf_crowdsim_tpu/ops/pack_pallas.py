@@ -53,8 +53,7 @@ MAX_CHUNKS = 4      # rows streamed per group <= CHUNK * MAX_CHUNKS
 
 
 def _make_kernel(n_pad: int, slots: int):
-    def kernel(meta_ref, feat_t_any, sent_ref, out_ref, out_lm_ref,
-               chunks, region, region_lm, sem):
+    def kernel(meta_ref, feat_t_any, sent_ref, out_ref, chunks, region, sem):
         # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
         # DMA lane offsets/extents to be 128-aligned, so row chunks are
         # read lane-major at 128-aligned starts (meta is align128'd).
@@ -72,7 +71,6 @@ def _make_kernel(n_pad: int, slots: int):
 
         chunk_dma(0, 0).start()
         region[...] = jnp.zeros((GROUP, NUM_F), jnp.float32)
-        region_lm[...] = jnp.zeros((NUM_F, GROUP), jnp.float32)
         base = (g * GROUP).astype(jnp.float32)
 
         def body(c, _):
@@ -114,16 +112,6 @@ def _make_kernel(n_pad: int, slots: int):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                # The lane-major orientation too, for one extra tiny
-                # matmul: the force kernel consumes packed lane-major,
-                # and an XLA transpose of [slots, 16] costs ~30 ms per
-                # 1M slots.
-                region_lm[...] = region_lm[...] + jax.lax.dot_general(
-                    rows_t, onehot,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
 
             return 0
 
@@ -131,9 +119,6 @@ def _make_kernel(n_pad: int, slots: int):
 
         filled = region[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
         out_ref[...] = region[...] + (1.0 - filled) * sent_ref[...]
-        filled_lm = region_lm[ROW_ONE:ROW_ONE + 1, :]  # [1, GROUP]
-        sent_col = sent_ref[...].reshape(NUM_F, 1)
-        out_lm_ref[...] = region_lm[...] + (1.0 - filled_lm) * sent_col
 
     return kernel
 
@@ -144,11 +129,9 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
 
     feat_sorted: [N, NUM_F] f32 with ROW_BPOS/ROW_ONE columns already set;
     bpos_sorted: [N] int32 (== slots for dropped/dead rows).  slots must
-    be a multiple of GROUP.  Returns (packed_t [slots, NUM_F],
-    packed_lm [NUM_F, slots] — the lane-major orientation built without a
-    transpose, overflow [] int32 — rows whose group row-window overflowed
-    MAX_CHUNKS*CHUNK; nonzero means increase MAX_CHUNKS or bucket sizing
-    is degenerate).
+    be a multiple of GROUP.  Returns (packed_t [slots, NUM_F], overflow
+    [] int32 — rows whose group row-window overflowed MAX_CHUNKS*CHUNK;
+    nonzero means increase MAX_CHUNKS or bucket sizing is degenerate).
     """
     n = feat_sorted.shape[0]
     assert slots < (1 << 24), "slot ids must be exact in f32"
@@ -191,30 +174,19 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
             pl.BlockSpec((1, NUM_F), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (GROUP, NUM_F), lambda g, *_: (g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (NUM_F, GROUP), lambda g, *_: (0, g),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (GROUP, NUM_F), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_F, CHUNK), jnp.float32),
             pltpu.VMEM((GROUP, NUM_F), jnp.float32),
-            pltpu.VMEM((NUM_F, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    packed, packed_lm = pl.pallas_call(
+    packed = pl.pallas_call(
         _make_kernel(n_pad, slots),
-        out_shape=(
-            jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
-            jax.ShapeDtypeStruct((NUM_F, slots_pad), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(r0, feat_t_pad, jnp.asarray(_SENT_NP))
-    return packed[:slots], packed_lm[:, :slots], overflow
+    return packed[:slots], overflow

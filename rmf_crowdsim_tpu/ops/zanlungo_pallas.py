@@ -164,16 +164,14 @@ class BucketConfig:
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
               use_pack_kernel: bool = False, interpret: bool = False,
-              extra=None, want_lane_major: bool = False):
+              extra=None):
     """Pack agent features into the bucketed layout.
 
     ``extra``: optional [N] f32 carried in feature row 14 (used by the
     persistent rollout to keep agent uids across slot-space rebins).
 
     Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
-    for dropped/dead agents), max_tile_occupancy [] int32); with
-    ``want_lane_major`` a 4-tuple with packed_lm [NUM_F, slots] inserted
-    second (free from the pack kernel; a transpose otherwise).
+    for dropped/dead agents), max_tile_occupancy [] int32).
     """
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
@@ -234,7 +232,6 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     )  # [N, NUM_F]
     feat_sorted = feat[order]  # row gather
 
-    packed_lm = None
     if use_pack_kernel:
         # MXU one-hot pack kernel (ops/pack_pallas.py): replaces the XLA
         # row scatter, whose ~137 ns/row overhead dominates bucketize.
@@ -243,7 +240,7 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         feat_sorted = feat_sorted.at[:, ROW_BPOS].set(
             bpos_sorted.astype(f32)
         )
-        packed_t, packed_lm, _pack_overflow = pack_rows_pallas(
+        packed_t, _pack_overflow = pack_rows_pallas(
             feat_sorted, bpos_sorted, cfg.slots, interpret=interpret
         )
     else:
@@ -260,10 +257,6 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     max_occ = jnp.max(
         jnp.where(sorted_tid < t_sent, rank + 1, 0)
     ).astype(jnp.int32)
-    if want_lane_major:
-        if packed_lm is None:
-            packed_lm = packed_t.T
-        return packed_t, packed_lm, bucket_pos, max_occ
     return packed_t, bucket_pos, max_occ
 
 
@@ -574,8 +567,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
-                             double_buffer: bool = True,
-                             packed_lm=None):
+                             double_buffer: bool = True):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
@@ -613,8 +605,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32),
-      packed_t.T if packed_lm is None else packed_lm, packed_t)
+    )(zparams4.astype(jnp.float32), packed_t.T, packed_t)
 
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
@@ -628,10 +619,10 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     ``rec_vel`` — audit via the returned occupancy.
     """
     dtype = position.dtype
-    packed_t, packed_lm, bucket_pos, max_occ = bucketize(
+    packed_t, bucket_pos, max_occ = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
-        interpret=interpret, want_lane_major=True,
+        interpret=interpret,
     )
     zparams4 = jnp.stack([
         zp.agent_scale.astype(jnp.float32),
@@ -641,8 +632,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         zp.force_cap.astype(jnp.float32),
     ])
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
-                                   interpret=interpret,
-                                   packed_lm=packed_lm)
+                                   interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive
     vel = out[safe].astype(dtype)
