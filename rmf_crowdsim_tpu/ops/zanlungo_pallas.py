@@ -146,11 +146,21 @@ class BucketConfig:
         # fold and with it every padded bucket slot).
         align = max(1, 128 // bucket)
         base = sub_tiles * align // math.gcd(sub_tiles, align)
-        strip = max(base, (strip_tiles // base) * base)
-        # Shrink the strip for small worlds so ty padding stays minimal.
+        strip_max = max(base, (strip_tiles // base) * base)
         ty_rounded = int(math.ceil(ty / base) * base)
-        strip = min(strip, ty_rounded)
-        ty = int(math.ceil(ty / strip) * strip)
+        strip_max = min(strip_max, ty_rounded)
+        # Among legal strips (multiples of base up to the requested size),
+        # pick the one that pads ty least — every padded row costs bucket
+        # slots and therefore kernel pair work (ties -> larger strip,
+        # fewer programs).
+        best = None
+        for cand in range(base, strip_max + 1, base):
+            padded = int(math.ceil(ty / cand) * cand)
+            if best is None or padded < best[0] or (
+                padded == best[0] and cand > best[1]
+            ):
+                best = (padded, cand)
+        ty, strip = best
         return cls(tile_size=tile, offset=(float(offset[0]), float(offset[1])),
                    tx=tx, ty=ty, bucket=bucket, strip_tiles=strip,
                    sub_tiles=sub_tiles)
