@@ -65,12 +65,13 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     lib.rs:214), spawn exactly ONE agent at the source.  Surplus requested
     spawns are dropped (no queue; reference TODO at lib.rs:209-211).
 
-    Documented divergence: the clearance gate here reads PRE-spawn state
-    for all sources at once (vectorized), while the reference iterates
-    sources sequentially, so a reference spawn from an earlier source in
-    the same step can block a later co-located source (lib.rs:146 inserts
-    into the index mid-phase).  Identical unless two sources sit within
-    ``spawn_clearance`` of each other."""
+    The reference iterates sources sequentially and inserts each spawn
+    into the spatial index mid-phase (lib.rs:146), so an earlier source's
+    same-step spawn can block a later source within the clearance disc.
+    Replicated here with a (cheap, S-length) scan over the source chain;
+    the only remaining divergence is at capacity exhaustion, where a
+    capacity-dropped spawn still blocks later co-located sources (the
+    reference has no capacity concept at all)."""
     n = config.capacity
     f = config.jdtype
     s = sp.source.shape[0]
@@ -92,6 +93,25 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
         axis=1,
     )
     want = (n_requested > 0) & ~blocked
+
+    # Sequential same-step chain (lib.rs:146): source j is also blocked by
+    # any EARLIER source i < j that spawns this step within the clearance
+    # disc (the new agent sits exactly at source i).
+    src_near = (
+        jnp.linalg.norm(
+            sp.source[:, None, :] - sp.source[None, :, :], axis=-1
+        )
+        < jnp.asarray(config.spawn_clearance, f)
+    )
+
+    def chain(spawned_so_far, j):
+        blocked_by_earlier = jnp.any(spawned_so_far & src_near[j])
+        can_j = want[j] & ~blocked_by_earlier
+        return spawned_so_far.at[j].set(can_j), None
+
+    want, _ = jax.lax.scan(
+        chain, jnp.zeros((s,), jnp.bool_), jnp.arange(s)
+    )
 
     # Slot allocation: k-th spawning source takes the k-th free slot.
     free = ~state.alive

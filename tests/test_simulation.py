@@ -327,3 +327,28 @@ def test_out_of_bounds_event_flag():
     assert np.asarray(sim.last_events.out_of_bounds).sum() == 1
     # The agent keeps simulating (clamped to edge cells for binning).
     assert sim.num_agents == 1
+
+
+def test_colocated_sources_sequential_clearance():
+    """Reference semantics (lib.rs:146): a same-step spawn from an earlier
+    source blocks a later source within the 0.4 m clearance disc — only
+    the FIRST of two co-located sources spawns on the first step."""
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    for src in [(0.0, 0.0), (0.2, 0.0)]:  # 0.2 m apart (< 0.4)
+        sim.add_source_sink(SourceSink(
+            source=src, waypoints=[(50.0, 0.0)], radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
+            local_planner=NoLocalPlan(), agent_eyesight_range=5.0))
+    sim.step(1.0)
+    assert sim.num_agents == 1  # second source blocked by the first spawn
+    assert int(sim.last_events.spawn_dropped) == 1
+    # Far-apart sources spawn independently.
+    sim2 = make_sim()
+    for src in [(0.0, 0.0), (10.0, 0.0)]:
+        sim2.add_source_sink(SourceSink(
+            source=src, waypoints=[(50.0, 0.0)], radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
+            local_planner=NoLocalPlan(), agent_eyesight_range=5.0))
+    sim2.step(1.0)
+    assert sim2.num_agents == 2
