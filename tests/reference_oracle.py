@@ -67,15 +67,16 @@ class OracleSim:
 
     def step(self, dt: float) -> None:
         # Phase A: spawn (lib.rs:199-254): at most one agent per source,
-        # gated on an empty clearance disc of PRE-spawn state.
-        pre_spawn = {aid: a.position for aid, a in self.agents.items()}
+        # gated on an empty clearance disc.  The check reads the LIVE
+        # agent set, so an earlier source's same-step spawn blocks later
+        # co-located sources (lib.rs:146 inserts mid-phase).
         for sid, ss in enumerate(self.sources):
             n = round(ss.rate * dt)  # MonotonicCrowd (source_sink.rs:96-101)
             if n <= 0:
                 continue
             blocked = any(
-                math.dist(p, ss.source) < self.clearance
-                for p in pre_spawn.values()
+                math.dist(a.position, ss.source) < self.clearance
+                for a in self.agents.values()
             )
             if blocked:
                 continue
