@@ -163,3 +163,41 @@ def test_multiwaypoint_and_looping_match_oracle():
         for k in got:
             assert got[k][0] == want[k][0], (step, k)
             assert got[k][1] == want[k][1], (step, k)
+
+
+def test_colocated_sources_match_oracle():
+    """Two sources inside each other's clearance disc: the sequential
+    same-step blocking chain must match the oracle step for step."""
+    cfg = SimConfig(
+        capacity=128,
+        grid=GridConfig(1000.0, 1000.0, 20.0, (-500.0, -500.0)),
+        neighbor_backend="brute",
+        dtype="float64",
+    )
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+    lp = NoLocalPlan()
+    for src in [(0.0, 0.0), (0.25, 0.0), (30.0, 0.0)]:
+        hl = ConstantVelocity((1.0, 0.0))
+        sim.add_source_sink(SourceSink(
+            source=src, waypoints=[(src[0] + 15.0, 0.0)], radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
+            local_planner=lp, agent_eyesight_range=5.0))
+
+        def mk():
+            def hl_fn(agent, t):
+                return (1.0, 0.0)
+            return hl_fn
+
+        oracle.add_source(OracleSource(
+            source=src, waypoints=[(src[0] + 15.0, 0.0)], radius_sink=1.0,
+            rate=1.0, eyesight=5.0, hl=mk()))
+
+    for step in range(30):
+        sim.step(1.0)
+        oracle.step(1.0)
+        got = positions_of(sim)
+        want = {aid: a.position for aid, a in oracle.agents.items()}
+        assert got.keys() == want.keys(), f"step {step}"
+        for k in got:
+            assert got[k] == want[k], (step, k)
