@@ -65,13 +65,12 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     lib.rs:214), spawn exactly ONE agent at the source.  Surplus requested
     spawns are dropped (no queue; reference TODO at lib.rs:209-211).
 
-    The reference iterates sources sequentially and inserts each spawn
-    into the spatial index mid-phase (lib.rs:146), so an earlier source's
-    same-step spawn can block a later source within the clearance disc.
-    Replicated here with a (cheap, S-length) scan over the source chain;
-    the only remaining divergence is at capacity exhaustion, where a
-    capacity-dropped spawn still blocks later co-located sources (the
-    reference has no capacity concept at all)."""
+    All clearance checks read the PRE-spawn spatial index: the reference
+    collects every source's ``get_neighbours_in_radius`` decision in a
+    first read-only map pass (lib.rs:199-222, the first ``collect()``),
+    and only then inserts the new agents in a second pass (lib.rs:224-234
+    → add_agents → lib.rs:146).  A same-step spawn from one source can
+    therefore never block a co-located source; both spawn."""
     n = config.capacity
     f = config.jdtype
     s = sp.source.shape[0]
@@ -93,25 +92,6 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
         axis=1,
     )
     want = (n_requested > 0) & ~blocked
-
-    # Sequential same-step chain (lib.rs:146): source j is also blocked by
-    # any EARLIER source i < j that spawns this step within the clearance
-    # disc (the new agent sits exactly at source i).
-    src_near = (
-        jnp.linalg.norm(
-            sp.source[:, None, :] - sp.source[None, :, :], axis=-1
-        )
-        < jnp.asarray(config.spawn_clearance, f)
-    )
-
-    def chain(spawned_so_far, j):
-        blocked_by_earlier = jnp.any(spawned_so_far & src_near[j])
-        can_j = want[j] & ~blocked_by_earlier
-        return spawned_so_far.at[j].set(can_j), None
-
-    want, _ = jax.lax.scan(
-        chain, jnp.zeros((s,), jnp.bool_), jnp.arange(s)
-    )
 
     # Slot allocation: k-th spawning source takes the k-th free slot.
     free = ~state.alive

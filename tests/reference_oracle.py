@@ -67,9 +67,12 @@ class OracleSim:
 
     def step(self, dt: float) -> None:
         # Phase A: spawn (lib.rs:199-254): at most one agent per source,
-        # gated on an empty clearance disc.  The check reads the LIVE
-        # agent set, so an earlier source's same-step spawn blocks later
-        # co-located sources (lib.rs:146 inserts mid-phase).
+        # gated on an empty clearance disc.  ALL clearance checks run in a
+        # first read-only pass against the PRE-spawn spatial index (the
+        # first collect() at lib.rs:199-222); inserts only happen in the
+        # second pass (lib.rs:224-234 → add_agents → lib.rs:146), so one
+        # source's same-step spawn never blocks a co-located source.
+        to_spawn: List[int] = []
         for sid, ss in enumerate(self.sources):
             n = round(ss.rate * dt)  # MonotonicCrowd (source_sink.rs:96-101)
             if n <= 0:
@@ -78,8 +81,10 @@ class OracleSim:
                 math.dist(a.position, ss.source) < self.clearance
                 for a in self.agents.values()
             )
-            if blocked:
-                continue
+            if not blocked:
+                to_spawn.append(sid)
+        for sid in to_spawn:
+            ss = self.sources[sid]
             aid = self.add_agent(ss.source, ss.hl, ss.eyesight)
             self.agents[aid].source_id = sid
 

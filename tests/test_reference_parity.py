@@ -166,8 +166,11 @@ def test_multiwaypoint_and_looping_match_oracle():
 
 
 def test_colocated_sources_match_oracle():
-    """Two sources inside each other's clearance disc: the sequential
-    same-step blocking chain must match the oracle step for step."""
+    """Two sources inside each other's clearance disc: all clearance
+    checks read the PRE-spawn index (lib.rs:199-222 first collect()), so
+    both co-located sources spawn on step 0, then block each other's
+    later spawns via the live agents; must match the oracle step for
+    step."""
     cfg = SimConfig(
         capacity=128,
         grid=GridConfig(1000.0, 1000.0, 20.0, (-500.0, -500.0)),
