@@ -108,8 +108,15 @@ def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3,
     rollout, params, state = build_bench(n_agents, backend=backend)
     run = jax.jit(rollout, static_argnums=(3,))
     # Warmup / compile; the float() fetch forces completion.
-    st, _ = run(params, state, 1.0 / 60.0, n_steps)
+    st, counters = run(params, state, 1.0 / 60.0, n_steps)
     assert float(st.sim_time) > 0.0
+    # The numbers only count if the physics is intact: zero agents may be
+    # silently dropped from neighbor sets (cell/bucket overflow).
+    truncated = int(np.max(np.asarray(counters.neighbor_truncated)))
+    assert truncated == 0, (
+        f"bench scene truncates {truncated} neighbor interactions/step — "
+        f"occupancy exceeded the per-cell/bucket capacity"
+    )
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

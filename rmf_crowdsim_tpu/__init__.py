@@ -11,7 +11,12 @@ jitted (and under lax.scan / shard_map for rollouts and multi-chip).
 
 from .core.config import GridConfig, SimConfig
 from .core.persistent import build_persistent_rollout
-from .core.simulation import AgentView, EventListener, Simulation
+from .core.simulation import (
+    AgentView,
+    EventListener,
+    NeighborTruncationError,
+    Simulation,
+)
 from .core.state import SimState, StepEvents, make_state
 from .core.step import SimParams, build_step
 from .models.highlevel import (
@@ -42,6 +47,7 @@ __all__ = [
     "HLResult",
     "LocalPlanner",
     "MonotonicCrowd",
+    "NeighborTruncationError",
     "NoLocalPlan",
     "ParityVelocity",
     "PoissonCrowd",

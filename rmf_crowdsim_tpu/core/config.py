@@ -112,6 +112,24 @@ class SimConfig:
     use_pack_kernel: bool = False
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
+    # What the host session does when a step reports neighbor truncation
+    # (events.neighbor_truncated > 0 — grid cells past max_per_cell or
+    # Pallas tiles past bucket_capacity).  "raise" (default) raises
+    # NeighborTruncationError from Simulation.step/run; "ignore" leaves
+    # auditing to the caller.  The reference's per-cell sets are unbounded
+    # (location_hash_2d.rs:15), so truncation is a silent physics
+    # divergence that must not pass unnoticed.
+    on_truncation: str = "raise"
+
+    @property
+    def neighbor_capacity_limit(self) -> int:
+        """The per-cell/tile occupancy above which truncation occurs for
+        the configured backend (0 = unbounded, for brute)."""
+        if self.neighbor_backend == BACKEND_GRID:
+            return self.max_per_cell
+        if self.neighbor_backend == BACKEND_GRID_PALLAS:
+            return self.bucket_capacity
+        return 0
 
     @property
     def jdtype(self):
@@ -126,3 +144,8 @@ class SimConfig:
             raise ValueError(f"unknown neighbor backend {self.neighbor_backend!r}")
         if self.neighbor_backend != BACKEND_BRUTE and self.grid is None:
             raise ValueError("grid backends require a GridConfig")
+        if self.on_truncation not in ("raise", "ignore"):
+            raise ValueError(
+                f"on_truncation must be 'raise' or 'ignore', "
+                f"got {self.on_truncation!r}"
+            )

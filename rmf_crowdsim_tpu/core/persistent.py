@@ -76,7 +76,7 @@ def _rebin_from_slots(cfg: BucketConfig, packed, agent_slot,
     agent->slot map is composed through the move."""
     slots = cfg.slots
     alive = packed[:, ROW_ID] >= 0.0
-    new_packed, move, occ = bucketize(
+    new_packed, move, occ, dropped = bucketize(
         cfg,
         packed[:, ROW_PX:ROW_PX + 2],
         packed[:, 2:4],            # velocity
@@ -91,7 +91,7 @@ def _rebin_from_slots(cfg: BucketConfig, packed, agent_slot,
         extra=packed[:, ROW_UID],
     )
     new_agent_slot = move[jnp.clip(agent_slot, 0, slots - 1)]
-    return new_packed, new_agent_slot, occ
+    return new_packed, new_agent_slot, occ, dropped
 
 
 def build_persistent_rollout(config: SimConfig, hl_planner: Any,
@@ -120,7 +120,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     use_pack = config.use_pack_kernel
 
     def init_carry(state: SimState) -> PersistentCarry:
-        packed, bucket_pos, occ = bucketize(
+        packed, bucket_pos, occ, _dropped = bucketize(
             bucket_cfg, state.position, state.velocity,
             state.preferred_vel, state.preferred_vel, state.priority,
             state.eyesight, jnp.zeros_like(state.velocity), state.alive,
@@ -180,7 +180,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
 
             def do_rebin(args):
                 p, a_slot = args
-                np_, ns_, occ = _rebin_from_slots(
+                np_, ns_, occ, _drop = _rebin_from_slots(
                     bucket_cfg, p, a_slot, use_pack, interp
                 )
                 return np_, np_[:, ROW_PX:ROW_PX + 2], ns_, occ, jnp.int32(1)

@@ -39,6 +39,15 @@ from .state import SimState, make_state
 from .step import SimParams, build_step
 
 
+class NeighborTruncationError(RuntimeError):
+    """A step silently truncated neighbor interactions: some grid cell /
+    supertile held more agents than the configured per-cell capacity
+    (``max_per_cell`` / ``bucket_capacity``).  The reference's cells are
+    unbounded (location_hash_2d.rs:15), so truncation is a physics
+    divergence.  Raise-by-default; set ``SimConfig.on_truncation="ignore"``
+    to audit manually via ``events.neighbor_truncated``."""
+
+
 class EventListener:
     """Observer API (lib.rs:22-33).  Subclass and override; all hooks are
     optional (the reference gives ``waypoint_reached`` a default no-op)."""
@@ -79,6 +88,9 @@ class Simulation:
         self._step_fn = None
         self._rollout_fn = None
         self._dirty = True
+        # Monotonic version bumped whenever a planner registry grows; the
+        # compiled-step reuse key (object ids would alias after GC).
+        self._registry_version = 0
 
     # -- planner registry ---------------------------------------------------
 
@@ -88,6 +100,7 @@ class Simulation:
                 return i
         registry.append(planner)
         self._dirty = True
+        self._registry_version += 1
         return len(registry) - 1
 
     # -- public API ----------------------------------------------------------
@@ -262,10 +275,7 @@ class Simulation:
                     act = act.at[i].set(False)
                 sources = sources.replace(active=act)
         self._params = SimParams(hl=hl_params, lp=lp_params, sources=sources)
-        registry_key = (
-            tuple(id(p) for p in self._hl_planners),
-            tuple(id(p) for p in self._lp_planners),
-        )
+        registry_key = self._registry_version
         if self._step_fn is None or registry_key != getattr(
             self, "_step_key", None
         ):
@@ -287,6 +297,16 @@ class Simulation:
         if want_events:
             self._dispatch_events(events)
         self.last_events = events
+        if self.config.on_truncation == "raise":
+            truncated = int(events.neighbor_truncated)
+            if truncated > 0:
+                raise NeighborTruncationError(
+                    f"{truncated} agents lost neighbor interactions this "
+                    f"step (occupancy {int(events.max_cell_occupancy)} > "
+                    f"{self.config.neighbor_capacity_limit} per "
+                    f"cell/tile); raise max_per_cell/bucket_capacity or "
+                    f"set on_truncation='ignore'"
+                )
 
     def run(self, n_steps: int, dt: float):
         """Run ``n_steps`` steps in ONE device dispatch (lax.scan) — the
@@ -309,6 +329,15 @@ class Simulation:
         self.state, counters = self._rollout_fn(
             self._params, self.state, dt, int(n_steps)
         )
+        if self.config.on_truncation == "raise":
+            total = int(jnp.sum(counters.neighbor_truncated))
+            if total > 0:
+                raise NeighborTruncationError(
+                    f"{total} agent-steps lost neighbor interactions "
+                    f"during the rollout (peak occupancy "
+                    f"{int(jnp.max(counters.max_cell_occupancy))} > "
+                    f"{self.config.neighbor_capacity_limit} per cell/tile)"
+                )
         return counters
 
     def _dispatch_events(self, events) -> None:

@@ -131,3 +131,9 @@ class StepEvents:
     # (reference drops silently, lib.rs:208-218)
     max_cell_occupancy: jax.Array  # [] int32 — densest queried grid cell,
     # for auditing max_per_cell truncation (grid backend; 0 for brute)
+    neighbor_truncated: jax.Array  # [] int32 — alive agents whose
+    # neighbor interactions were silently truncated this step (grid cells
+    # past max_per_cell, Pallas tiles past bucket_capacity, pack-window
+    # overflow).  The reference's cells are unbounded
+    # (location_hash_2d.rs:15) so ANY nonzero count is a divergence;
+    # Simulation.step raises on it unless config.on_truncation="ignore".

@@ -234,6 +234,7 @@ def build_step(
         # With the grid_pallas backend, planners providing a fused kernel
         # (Zanlungo) skip the candidate table entirely.
         max_occ = jnp.zeros((), jnp.int32)
+        truncated = jnp.zeros((), jnp.int32)
         if lp_planners:
             nbr = None
             use_fused = bucket_cfg is not None
@@ -245,15 +246,17 @@ def build_step(
             if need_nbr:
                 nbr = neighbor_table(state)
                 max_occ = nbr.max_cell_occupancy
+                truncated = truncated + nbr.truncated
             for i, planner in enumerate(lp_planners):
                 if use_fused and hasattr(planner, "plan_fused"):
-                    v, occ = planner.plan_fused(
+                    v, occ, dropped = planner.plan_fused(
                         params.lp[i], bucket_cfg, state, vel, self_pref,
                         interpret=config.pallas_interpret,
                         world_mesh=world_mesh,
                         use_pack_kernel=config.use_pack_kernel,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
+                    truncated = truncated + dropped
                 else:
                     v = planner.plan(params.lp[i], state, nbr, vel, self_pref)
                 sel = (state.lp_idx == jnp.int32(i)) & state.alive
@@ -354,6 +357,7 @@ def build_step(
             out_of_bounds=out_of_bounds,
             spawn_dropped=spawn_dropped.astype(jnp.int32),
             max_cell_occupancy=max_occ,
+            neighbor_truncated=truncated,
         )
         return state, events
 
@@ -374,6 +378,7 @@ class RolloutCounters:
     spawn_dropped: jax.Array  # [T] int32
     out_of_bounds: jax.Array  # [T] int32
     max_cell_occupancy: jax.Array  # [T] int32
+    neighbor_truncated: jax.Array  # [T] int32
 
 
 def build_rollout(
@@ -398,6 +403,7 @@ def build_rollout(
                 spawn_dropped=ev.spawn_dropped,
                 out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
                 max_cell_occupancy=ev.max_cell_occupancy,
+                neighbor_truncated=ev.neighbor_truncated,
             )
             return st, c
 

@@ -374,7 +374,8 @@ class Zanlungo(LocalPlanner):
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
         with ppermute halo exchange (parallel/domain.py).  Returns
-        (vel [N,2], max_tile_occupancy)."""
+        (vel [N,2], max_tile_occupancy, dropped) — ``dropped`` counts
+        alive agents silently excluded by bucket/pack overflow."""
         if world_mesh is not None:
             from ..parallel.domain import zanlungo_fused_domain
 

@@ -141,4 +141,13 @@ def grid_neighbors(
     # Diagnostic: densest cell actually queried (over in-window cells).
     occ = jnp.where(cell_ok, seg_len, 0)
     max_occ = jnp.max(occ).astype(jnp.int32)
-    return NeighborSet(idx=idx, valid=valid, max_cell_occupancy=max_occ)
+    # Enforcement counter: agents beyond ``max_per_cell`` in ANY cell never
+    # enter a candidate set — silent physics truncation (the reference's
+    # cells are unbounded, location_hash_2d.rs:15).  Counted globally
+    # (conservative: includes cells nobody queries this step).
+    cell_counts = b.starts[1:] - b.starts[:-1]  # [n_cells]
+    truncated = jnp.sum(
+        jnp.maximum(cell_counts - jnp.int32(max_per_cell), 0)
+    ).astype(jnp.int32)
+    return NeighborSet(idx=idx, valid=valid, max_cell_occupancy=max_occ,
+                       truncated=truncated)

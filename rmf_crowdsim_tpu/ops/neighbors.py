@@ -32,6 +32,14 @@ class NeighborSet:
     idx: jax.Array  # [N, K] int32
     valid: jax.Array  # [N, K] bool
     max_cell_occupancy: jax.Array  # [] int32 (diagnostic; 0 for brute)
+    # Count of alive agents silently dropped from candidate sets this step
+    # (cells past ``max_per_cell``).  The reference's cells are unbounded
+    # (location_hash_2d.rs:15), so any nonzero count is a physics
+    # divergence users must see — core/simulation.py raises on it by
+    # default.  Always 0 for the brute backend.
+    truncated: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def brute_neighbors(

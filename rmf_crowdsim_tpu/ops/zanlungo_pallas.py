@@ -181,7 +181,12 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     persistent rollout to keep agent uids across slot-space rebins).
 
     Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
-    for dropped/dead agents), max_tile_occupancy [] int32).
+    for dropped/dead agents), max_tile_occupancy [] int32, dropped []
+    int32 — alive agents not packed: bucket overflow (tile occupancy >
+    ``cfg.bucket``) plus, on the pack-kernel path, rows whose slot-group
+    window exceeded the kernel's streaming capacity.  Dropped agents keep
+    their recommended velocity and vanish as force candidates — silent
+    physics truncation, so callers must surface any nonzero count.)
     """
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
@@ -250,10 +255,11 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         feat_sorted = feat_sorted.at[:, ROW_BPOS].set(
             bpos_sorted.astype(f32)
         )
-        packed_t, _pack_overflow = pack_rows_pallas(
+        packed_t, pack_overflow = pack_rows_pallas(
             feat_sorted, bpos_sorted, cfg.slots, interpret=interpret
         )
     else:
+        pack_overflow = jnp.zeros((), jnp.int32)
         sentinel = jnp.zeros((1, NUM_F), f32)
         sentinel = sentinel.at[0, ROW_PX].set(_POS_SENTINEL)
         sentinel = sentinel.at[0, ROW_PY].set(_POS_SENTINEL)
@@ -267,7 +273,11 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     max_occ = jnp.max(
         jnp.where(sorted_tid < t_sent, rank + 1, 0)
     ).astype(jnp.int32)
-    return packed_t, bucket_pos, max_occ
+    dropped = (
+        jnp.sum(((sorted_tid < t_sent) & ~in_bucket).astype(jnp.int32))
+        + pack_overflow
+    ).astype(jnp.int32)
+    return packed_t, bucket_pos, max_occ, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -624,12 +634,13 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
-    candidate table).  Returns (vel [N, 2], max_tile_occupancy).
+    candidate table).  Returns (vel [N, 2], max_tile_occupancy, dropped).
     Agents dropped by bucket overflow (occupancy > cfg.bucket) keep
-    ``rec_vel`` — audit via the returned occupancy.
+    ``rec_vel``; ``dropped`` counts them (plus pack-kernel window
+    overflow) so the step can surface the truncation.
     """
     dtype = position.dtype
-    packed_t, bucket_pos, max_occ = bucketize(
+    packed_t, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
         interpret=interpret,
@@ -647,4 +658,4 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     ok = (bucket_pos < cfg.slots) & alive
     vel = out[safe].astype(dtype)
     vel = jnp.where(ok[:, None], vel, rec_vel)
-    return vel, max_occ
+    return vel, max_occ, dropped

@@ -98,7 +98,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     """Domain-sharded version of ops.zanlungo_pallas.zanlungo_fused: same
     signature + mesh; same results."""
     dtype = position.dtype
-    packed_t, bucket_pos, max_occ = bucketize(
+    packed_t, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive,
     )
@@ -114,4 +114,4 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive
     vel = out[safe].astype(dtype)
-    return jnp.where(ok[:, None], vel, rec_vel), max_occ
+    return jnp.where(ok[:, None], vel, rec_vel), max_occ, dropped

@@ -32,12 +32,28 @@ def save_state(path: str, state: SimState) -> None:
     np.savez(path, **state_to_dict(state))
 
 
+def _asarray_exact(name: str, value: np.ndarray) -> jnp.ndarray:
+    """Convert preserving the checkpoint's dtype.  Without jax_enable_x64 a
+    bare ``jnp.asarray`` silently downcasts 64-bit checkpoints to 32-bit,
+    breaking bitwise-reproducible resume — raise instead."""
+    arr = jnp.asarray(value)
+    if arr.dtype != value.dtype:
+        raise ValueError(
+            f"checkpoint field {name!r} has dtype {value.dtype} but this "
+            f"runtime would load it as {arr.dtype} (jax_enable_x64 is "
+            f"off?); refusing a silent downcast"
+        )
+    return arr
+
+
 def load_state(path: str) -> SimState:
     with np.load(path) as data:
         missing = set(_FIELDS) - set(data.files)
         if missing:
             raise ValueError(f"checkpoint missing fields: {sorted(missing)}")
-        return SimState(**{name: jnp.asarray(data[name]) for name in _FIELDS})
+        return SimState(
+            **{name: _asarray_exact(name, data[name]) for name in _FIELDS}
+        )
 
 
 def save_state_orbax(path: str, state: SimState) -> None:

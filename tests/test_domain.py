@@ -23,10 +23,10 @@ def test_domain_sharded_matches_single(seed):
     scene = random_scene(seed, n, world, 3.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
 
-    got, occ = jax.jit(
+    got, occ, _dropped = jax.jit(
         lambda *a: zanlungo_fused_domain(mesh, cfg, zp, *a, interpret=True)
     )(pos, vel, self_pref, pref_c, prio, eye, alive, rec)
-    single, _ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c, prio,
+    single, _, _ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c, prio,
                                eye, alive, rec, interpret=True)
     want = oracle(zp, scene)
 

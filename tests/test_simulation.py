@@ -329,10 +329,11 @@ def test_out_of_bounds_event_flag():
     assert sim.num_agents == 1
 
 
-def test_colocated_sources_sequential_clearance():
-    """Reference semantics (lib.rs:146): a same-step spawn from an earlier
-    source blocks a later source within the 0.4 m clearance disc — only
-    the FIRST of two co-located sources spawns on the first step."""
+def test_colocated_sources_presnapshot_clearance():
+    """Reference semantics (lib.rs:199-234): ALL sources' clearance checks
+    run in a first read-only pass against the pre-spawn spatial index, so
+    two co-located sources BOTH spawn on the first step; from the second
+    step on, the live agents block both."""
     sim = make_sim()
     hl = ConstantVelocity((1.0, 0.0))
     for src in [(0.0, 0.0), (0.2, 0.0)]:  # 0.2 m apart (< 0.4)
@@ -341,8 +342,10 @@ def test_colocated_sources_sequential_clearance():
             crowd_generator=MonotonicCrowd(1.0), high_level_planner=hl,
             local_planner=NoLocalPlan(), agent_eyesight_range=5.0))
     sim.step(1.0)
-    assert sim.num_agents == 1  # second source blocked by the first spawn
-    assert int(sim.last_events.spawn_dropped) == 1
+    assert sim.num_agents == 2  # both see the empty pre-spawn disc
+    assert int(sim.last_events.spawn_dropped) == 0
+    sim.step(1.0)  # the two live agents moved 1 m; discs clear again
+    assert sim.num_agents == 4
     # Far-apart sources spawn independently.
     sim2 = make_sim()
     for src in [(0.0, 0.0), (10.0, 0.0)]:

@@ -1,0 +1,102 @@
+"""Loud neighbor-truncation enforcement.
+
+The reference's per-cell sets are unbounded (location_hash_2d.rs:15); our
+fixed-K gathers and fixed-capacity buckets can silently drop neighbor
+interactions when a cell/tile overflows.  These tests prove the overflow
+is DETECTED and raised by default (SimConfig.on_truncation="raise"), on
+both the XLA grid backend and the fused Pallas backend, on the one-step
+and the scanned-rollout paths.
+"""
+
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu import (
+    ConstantVelocity,
+    GridConfig,
+    NeighborTruncationError,
+    NoLocalPlan,
+    SimConfig,
+    Simulation,
+    Zanlungo,
+)
+
+
+def _dense_sim(on_truncation: str, backend: str = "grid",
+               max_per_cell: int = 2):
+    cfg = SimConfig(
+        capacity=64,
+        grid=GridConfig(100.0, 100.0, 5.0, (-50.0, -50.0)),
+        neighbor_backend=backend,
+        max_per_cell=max_per_cell,
+        max_eyesight=5.0,
+        on_truncation=on_truncation,
+    )
+    sim = Simulation(cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+    # 5 agents inside one 5 m cell: 3 more than max_per_cell.
+    pts = [(1.0 + 0.2 * i, 1.0) for i in range(5)]
+    sim.add_agents(pts, hl, lp, 5.0)
+    return sim
+
+
+def test_grid_overflow_raises():
+    sim = _dense_sim("raise")
+    with pytest.raises(NeighborTruncationError, match="3 agents"):
+        sim.step(1.0 / 60.0)
+
+
+def test_grid_overflow_ignore_reports():
+    sim = _dense_sim("ignore")
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 3
+    assert int(sim.last_events.max_cell_occupancy) == 5
+
+
+def test_rollout_overflow_raises():
+    sim = _dense_sim("raise")
+    with pytest.raises(NeighborTruncationError):
+        sim.run(3, 1.0 / 60.0)
+
+
+def test_no_overflow_is_silent():
+    sim = _dense_sim("raise", max_per_cell=8)
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 0
+    sim.run(3, 1.0 / 60.0)
+
+
+def test_pallas_bucket_overflow_raises():
+    """grid_pallas backend (interpret mode): tile occupancy past
+    bucket_capacity raises through the fused path's dropped counter."""
+    cfg = SimConfig(
+        capacity=64,
+        grid=GridConfig(32.0, 32.0, 2.0, (0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=2.0,
+        bucket_capacity=8,
+        strip_tiles=14,
+        sub_tiles=14,
+        pallas_interpret=True,
+        on_truncation="raise",
+    )
+    sim = Simulation(cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+    # 12 agents in one 2 m supertile, bucket capacity 8.
+    pts = [(1.0 + 0.05 * i, 1.0) for i in range(12)]
+    sim.add_agents(pts, hl, lp, 2.0)
+    with pytest.raises(NeighborTruncationError, match="4 agents"):
+        sim.step(1.0 / 60.0)
+
+
+def test_brute_backend_never_truncates():
+    cfg = SimConfig(capacity=32, neighbor_backend="brute",
+                    on_truncation="raise")
+    sim = Simulation(cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = NoLocalPlan()
+    sim.add_agents([(0.0, 0.0), (0.1, 0.0), (0.2, 0.0)], hl, lp, 5.0)
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 0

@@ -60,8 +60,9 @@ def test_fused_matches_oracle(seed):
     scene = random_scene(seed, n, world, eyesight_max)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
 
-    got, max_occ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c,
-                                  prio, eye, alive, rec, interpret=True)
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, pos, vel, self_pref, pref_c, prio, eye, alive, rec,
+        interpret=True)
     assert int(max_occ) <= cfg.bucket, "bucket overflow would break parity"
     want = oracle(zp, scene)
 
@@ -84,7 +85,7 @@ def test_fused_under_jit():
     fn = jax.jit(
         lambda *a: zanlungo_fused(cfg, zp, *a, interpret=True)
     )
-    got, _ = fn(pos, vel, self_pref, pref_c, prio, eye, alive, rec)
+    got, _, _ = fn(pos, vel, self_pref, pref_c, prio, eye, alive, rec)
     want = oracle(zp, scene)
     alive_np = np.asarray(alive)
     np.testing.assert_allclose(np.asarray(got)[alive_np],
@@ -100,8 +101,9 @@ def test_bucketize_roundtrip():
                               bucket=16, strip_tiles=6, sub_tiles=6)
     scene = random_scene(3, n, world, 2.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
-    packed, bpos, max_occ = bucketize(cfg, pos, vel, pref_c, self_pref,
-                                      prio, eye, rec, alive)
+    packed, bpos, max_occ, dropped = bucketize(
+        cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive)
+    assert int(dropped) == 0
     packed = np.asarray(packed)
     bpos = np.asarray(bpos)
     alive_np = np.asarray(alive)
@@ -131,8 +133,10 @@ def test_overflow_agents_keep_rec_vel():
     alive = jnp.ones((n,), bool)
     rec = jnp.asarray(np.tile([[0.5, -0.5]], (n, 1)), f32)
     zp = make_params()
-    got, max_occ = zanlungo_fused(cfg, zp, pos, vel, pref, pref, prio, eye,
-                                  alive, rec, interpret=True)
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, pos, vel, pref, pref, prio, eye, alive, rec,
+        interpret=True)
+    assert int(dropped) == 4  # 12 agents, bucket 8
     assert int(max_occ) == 12
     got = np.asarray(got)
     # The 4 overflow agents (rank >= bucket == 8) pass rec through.
@@ -153,8 +157,8 @@ def test_pack_kernel_matches_scatter(seed):
                   use_pack_kernel=False)
     b = bucketize(cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive,
                   use_pack_kernel=True, interpret=True)
-    pa, ba, _ = a
-    pb, bb, _ = b
+    pa, ba, _, _ = a
+    pb, bb, _, _ = b
     np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
     pa, pb = np.asarray(pa), np.asarray(pb)
     # Identical on the meaningful rows (the scatter path leaves 0 in the
@@ -171,9 +175,9 @@ def test_fused_with_pack_kernel_matches_oracle():
     zp = make_params()
     scene = random_scene(1, n, world, 3.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
-    got, _ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c, prio,
-                            eye, alive, rec, interpret=True,
-                            use_pack_kernel=True)
+    got, _, _ = zanlungo_fused(cfg, zp, pos, vel, self_pref, pref_c,
+                               prio, eye, alive, rec, interpret=True,
+                               use_pack_kernel=True)
     want = oracle(zp, scene)
     m = np.asarray(alive)
     np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
