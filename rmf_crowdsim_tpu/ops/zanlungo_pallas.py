@@ -126,7 +126,7 @@ class BucketConfig:
                tile_size: float | None = None) -> "BucketConfig":
         """``tile_size`` defaults to the eyesight (the correctness
         minimum).  LARGER tiles with proportionally larger buckets reduce
-        total pair work: pairs = slots * 768 and slots = area/tile^2 *
+        total pair work: pairs = slots * 384 and slots = area/tile^2 *
         bucket, so fill (= mean occupancy / bucket) is what matters —
         e.g. bucket=32 with tile ~= sqrt(17/density) keeps overflow
         < 0.1% at ~55% fill, ~1.9x fewer pairs than bucket=8 at
@@ -448,6 +448,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
     ty, tx = cfg.ty, cfg.tx
 
     win = 2 * 128  # DMA window: 2 aligned 128-lane groups
+    C = 128        # compute width: the true (sub_tiles + 2)-tile halo
 
     def kernel(zp_ref, packed_any, qt_ref, out_ref, win_vmem, sem):
         # Alignment strategy (Mosaic tiles every memref (8, 128), even in
@@ -455,8 +456,11 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
         #   - candidate windows are lane-dim DMA slices of the packed
         #     array, aligned DOWN to 128 and widened to 256 lanes; the
         #     true (sub_tiles + 2)-tile halo (== 128 slots, asserted) is
-        #     always covered.  Cross-column bleed from the widened window
-        #     is killed by an explicit candidate-column mask;
+        #     always covered.  After the DMA the window is ROLLED by the
+        #     misalignment so pair math runs on exactly the 128 true halo
+        #     lanes — half the VPU work of computing on the widened
+        #     window.  Cross-column bleed at world edges is killed by an
+        #     explicit candidate-column mask;
         #   - queries/outputs ride the SUBLANE dim of transposed arrays
         #     ([slots, NUM_F] / [slots, 2]) where bucket-granular offsets
         #     (multiples of 8) are legal.
@@ -469,13 +473,21 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
         radius = zp_ref[3]
         col_slots = ty * B
 
-        def win_start(s, k):
-            # Aligned window start covering tiles [py0 + s*qb - 1, +qb+2)
-            # of column px+k-1.  slots % 128 == 0 (asserted via ty*bucket),
-            # so the clip preserves the alignment; pl.multiple_of tells
-            # Mosaic, which cannot prove it through the floordiv+clip.
+        def win_true_start(s, k):
+            # Unaligned start of the true halo: tiles [py0 + s*qb - 1,
+            # +qb+2) of column px+k-1, clipped into the array.  World-edge
+            # clipping shifts the window onto existing slots; the
+            # candidate-column mask rejects any slot outside column
+            # px+k-1, so clipped-in lanes never contribute.
             g = ((px + (k - 1)) * ty + py0 + s * qb - 1) * B
-            g_al = (g // 128) * 128
+            return jnp.clip(g, 0, slots - C)
+
+        def win_start(s, k):
+            # Aligned DMA base covering the true halo.  slots % 128 == 0
+            # (asserted via ty*bucket), so the clip preserves alignment;
+            # pl.multiple_of tells Mosaic, which cannot prove it through
+            # the floordiv+clip.
+            g_al = (win_true_start(s, k) // 128) * 128
             return pl.multiple_of(jnp.clip(g_al, 0, slots - win), 128)
 
         def win_dma(s, k, slot):
@@ -489,7 +501,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
             for k in range(3):
                 win_dma(0, k, 0).start()
 
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         def sub_block(s, _):
             if double_buffer:
@@ -510,6 +522,22 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
                 for k in range(3):
                     win_dma(s, k, 0).wait()
 
+            # Roll each DMA'd window left by its misalignment so lanes
+            # [0, C) hold exactly the true halo slots [g_cl, g_cl + C).
+            g_cls = []
+            rolled = []
+            for k in range(3):
+                g_cl = win_true_start(s, k)
+                shift = g_cl - win_start(s, k)  # in [0, 128]
+                w = pltpu.roll(
+                    win_vmem[slot, k],
+                    jax.lax.rem(jnp.int32(win) - shift.astype(jnp.int32),
+                                jnp.int32(win)),
+                    axis=1,
+                )
+                g_cls.append(g_cl)
+                rolled.append(w)
+
             q0 = s * sub_q
 
             # Query features: [sub_q, 1] sublane columns (queries in
@@ -524,9 +552,9 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
             qid_ = qrow(ROW_ID)
             qspx_, qspy_ = qrow(ROW_SPX), qrow(ROW_SPY)
 
-            # Candidate features: [1, win] lane rows.
+            # Candidate features: [1, C] lane rows of the rolled windows.
             def crow(k, r):
-                return win_vmem[slot, k, r, :].reshape(1, win)
+                return rolled[k][r:r + 1, :C]
 
             # ---- pass 1: min time-to-collision over the three windows
             inf = jnp.float32(jnp.inf)
@@ -536,10 +564,10 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
                 cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
                 cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
                 cid_ = crow(k, ROW_ID)
-                # The widened window may bleed into neighboring columns;
-                # only candidates from column px+k-1 are real (this also
-                # masks whole out-of-world columns).
-                cand_slot = win_start(s, k) + lane_iota
+                # World-edge clipping may shift the window into a
+                # neighboring column; only candidates from column px+k-1
+                # are real (this also masks whole out-of-world columns).
+                cand_slot = g_cls[k] + lane_iota
                 col_ok = (cand_slot // col_slots) == (px + (k - 1))
                 ttc, dist2 = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
                                        cvx_, cvy_, cpx_, cpy_, radius)

@@ -204,3 +204,99 @@ def test_colocated_sources_match_oracle():
         assert got.keys() == want.keys(), f"step {step}"
         for k in got:
             assert got[k] == want[k], (step, k)
+
+
+def test_zanlungo_pair_trajectories_match_oracle():
+    """Zanlungo forces active (VERDICT item 4): isolated head-on pairs —
+    each agent sees exactly ONE neighbor, so force sums have no
+    order-ambiguity and the comparison isolates the 170-line force math
+    (zanlungo.rs:49-218) against an independent scalar transcription.
+    float64; only libm-vs-XLA transcendental ULPs separate the two."""
+    from rmf_crowdsim_tpu import Zanlungo
+    from tests.reference_oracle import OracleZanlungo
+
+    cfg = SimConfig(capacity=64, neighbor_backend="brute", dtype="float64")
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+
+    zp = dict(agent_scale=1.4, obstacle_scale=1.0, reaction_time=0.0,
+              force_distance=2.0, agent_mass=1.7, agent_radius=0.3)
+    lp = Zanlungo(**zp)
+    olp = OracleZanlungo(**zp)
+    hl = ParityVelocity((0.9, 0.0))  # even ids -> -v, odd ids -> +v
+
+    # 12 pairs, 60 m apart (eyesight 5 m: pairs never see each other).
+    # Slight y offsets break symmetry so slerp/right-of-way branches fire
+    # on the lower-priority (even-id) agent.
+    pts = []
+    for i in range(12):
+        y = i * 60.0
+        pts.append((2.0, y))          # even id, moves -x
+        pts.append((-2.0, y + 0.13))  # odd id, moves +x
+    sim.add_agents(pts, hl, lp, 5.0)
+
+    def hl_fn(agent, t):
+        v = (0.9, 0.0)
+        return (-v[0], -v[1]) if agent.agent_id % 2 == 0 else v
+
+    for p in pts:
+        oracle.add_agent(p, hl_fn, 5.0, olp)
+
+    for _ in range(40):
+        sim.step(1.0 / 60.0)
+        oracle.step(1.0 / 60.0)
+    got = positions_of(sim)
+    want = {aid: a.position for aid, a in oracle.agents.items()}
+    assert got.keys() == want.keys()
+    g = np.asarray([got[k] for k in sorted(got)])
+    w = np.asarray([want[k] for k in sorted(want)])
+    # Agents must actually have interacted (forces nonzero) for this to
+    # test anything: a pure ParityVelocity trajectory would differ.
+    free_flight = np.asarray(
+        [(p[0] - 0.9 * (40 / 60.0), p[1]) for p in pts[::2]]
+    )
+    assert not np.allclose(g[::2], free_flight, atol=1e-6), (
+        "forces never fired — scene is not exercising Zanlungo"
+    )
+    np.testing.assert_allclose(g, w, rtol=1e-11, atol=1e-11)
+
+
+def test_zanlungo_dense_crowd_matches_oracle():
+    """Dense random crowd, every branch of the force math live, 25 steps.
+    f64 sum-order (jnp tree reduction vs sequential) and transcendental
+    ULPs bound the tolerance."""
+    from rmf_crowdsim_tpu import Zanlungo
+    from tests.reference_oracle import OracleZanlungo
+
+    cfg = SimConfig(capacity=64, neighbor_backend="brute", dtype="float64")
+    sim = Simulation(cfg)
+    oracle = OracleSim()
+
+    zp = dict(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+              force_distance=1.5, agent_mass=2.0, agent_radius=0.25)
+    # force_cap keeps overlapping random pairs finite (repo extension,
+    # mirrored in the oracle).
+    lp = Zanlungo(**zp, force_cap=50.0)
+    olp = OracleZanlungo(**zp, force_cap=50.0)
+    hl = ParityVelocity((0.6, -0.4))
+
+    rng = np.random.default_rng(7)
+    pts = [tuple(p) for p in rng.uniform(-6.0, 6.0, (40, 2))]
+    sim.add_agents(pts, hl, lp, 4.0)
+
+    def hl_fn(agent, t):
+        v = (0.6, -0.4)
+        return (-v[0], -v[1]) if agent.agent_id % 2 == 0 else v
+
+    for p in pts:
+        oracle.add_agent(p, hl_fn, 4.0, olp)
+
+    for _ in range(25):
+        sim.step(1.0 / 60.0)
+        oracle.step(1.0 / 60.0)
+    got = positions_of(sim)
+    want = {aid: a.position for aid, a in oracle.agents.items()}
+    assert got.keys() == want.keys()
+    g = np.asarray([got[k] for k in sorted(got)])
+    w = np.asarray([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-9)
