@@ -110,6 +110,15 @@ class SimConfig:
     # Use the MXU one-hot pack kernel instead of the XLA row scatter when
     # building the bucketed layout (ops/pack_pallas.py).
     use_pack_kernel: bool = False
+    # Exact repair of bucket overflow (ops/zanlungo_pallas.spill_patch):
+    # agents beyond a tile's bucket_capacity, and every query within
+    # eyesight of one, are recomputed exactly on the XLA side.
+    # spill_capacity bounds overflow agents per step; affected_capacity
+    # bounds the recomputed queries.  0 disables the patch (overflow then
+    # truncates, loudly).  Sized for occupancy tails and doorway
+    # hotspots; overruns surface through neighbor_truncated.
+    spill_capacity: int = 128
+    affected_capacity: int = 8192
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation
@@ -120,6 +129,12 @@ class SimConfig:
     # (location_hash_2d.rs:15), so truncation is a silent physics
     # divergence that must not pass unnoticed.
     on_truncation: str = "raise"
+    # Per-step event-record capacity of the scanned rollout's event stream
+    # (Simulation.run with listeners registered): the max spawned /
+    # destroyed / waypoint-reached agents recorded per step.  A step
+    # exceeding it raises (the listener contract is exact delivery,
+    # lib.rs:151-153, 189-191).
+    event_stream_capacity: int = 128
 
     @property
     def neighbor_capacity_limit(self) -> int:

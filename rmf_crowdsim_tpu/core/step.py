@@ -254,6 +254,8 @@ def build_step(
                         interpret=config.pallas_interpret,
                         world_mesh=world_mesh,
                         use_pack_kernel=config.use_pack_kernel,
+                        spill_capacity=config.spill_capacity,
+                        affected_capacity=config.affected_capacity,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped
@@ -381,16 +383,61 @@ class RolloutCounters:
     neighbor_truncated: jax.Array  # [T] int32
 
 
+@struct.dataclass
+class EventStream:
+    """Per-step compacted event records from a scanned rollout: fixed-K
+    uid (+ position) lists per event kind, so the fast ``run()`` path can
+    honor the reference's exact per-id EventListener contract
+    (lib.rs:151-153, 189-191; waypoint hook lib.rs:32/317) without
+    materializing [T, N] masks.  Unused entries hold uid -1; a step whose
+    events exceed K is counted in ``overflow`` (callers must surface —
+    delivery would be incomplete)."""
+
+    spawned_uid: jax.Array    # [T, K] int32, -1 padded
+    spawned_pos: jax.Array    # [T, K, 2]
+    destroyed_uid: jax.Array  # [T, K] int32, -1 padded
+    reached_uid: jax.Array    # [T, K] int32, -1 padded
+    reached_pos: jax.Array    # [T, K, 2]
+    overflow: jax.Array       # [T] int32 — events dropped this step
+    counters: RolloutCounters
+
+
+def _compact_events(mask, uid, k: int, pos=None):
+    """Compact ``uid[mask]`` (and optionally positions) into fixed-``k``
+    rows, first-slot-first.  Returns (uid_k, pos_k | None, n_dropped)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    keep = mask & (rank < k)
+    tgt = jnp.where(keep, rank, jnp.int32(k))
+    uid_k = jnp.full((k,), -1, jnp.int32).at[tgt].set(
+        uid.astype(jnp.int32), mode="drop"
+    )
+    pos_k = None
+    if pos is not None:
+        pos_k = jnp.zeros((k, 2), pos.dtype).at[tgt].set(pos, mode="drop")
+    dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(
+        keep.astype(jnp.int32)
+    )
+    return uid_k, pos_k, dropped
+
+
 def build_rollout(
     config: SimConfig,
     hl_planners: Sequence[Any],
     lp_planners: Sequence[Any],
+    event_capacity: int = 0,
 ):
-    """Construct ``rollout(params, state, dt, n_steps) -> (state, counters)``:
+    """Construct ``rollout(params, state, dt, n_steps) -> (state, ys)``:
     ``n_steps`` simulation steps under one ``lax.scan`` — the multi-step
     analog of calling ``Simulation::step`` in a loop (lib.rs:195), with zero
-    host round-trips between steps."""
+    host round-trips between steps.
+
+    ``event_capacity`` == 0 (default): ``ys`` is :class:`RolloutCounters`
+    (cheap anonymous per-step summaries).  > 0: ``ys`` is an
+    :class:`EventStream` carrying exact per-step uid/position records (up
+    to ``event_capacity`` per kind per step) for host-side EventListener
+    replay."""
     step = build_step(config, hl_planners, lp_planners)
+    k = int(event_capacity)
 
     def rollout(params: SimParams, state: SimState, dt, n_steps: int):
         def body(st, _):
@@ -405,7 +452,26 @@ def build_rollout(
                 max_cell_occupancy=ev.max_cell_occupancy,
                 neighbor_truncated=ev.neighbor_truncated,
             )
-            return st, c
+            if k == 0:
+                return st, c
+            # uids: spawned/reached agents are alive with their uid in
+            # post-step state; destroyed uids come from the event record.
+            s_uid, s_pos, s_drop = _compact_events(
+                ev.spawned, st.uid, k, ev.spawn_position
+            )
+            d_uid, _, d_drop = _compact_events(ev.destroyed, ev.destroyed_uid, k)
+            r_uid, r_pos, r_drop = _compact_events(
+                ev.waypoint_reached, st.uid, k, ev.waypoint_position
+            )
+            return st, EventStream(
+                spawned_uid=s_uid,
+                spawned_pos=s_pos,
+                destroyed_uid=d_uid,
+                reached_uid=r_uid,
+                reached_pos=r_pos,
+                overflow=s_drop + d_drop + r_drop,
+                counters=c,
+            )
 
         return jax.lax.scan(body, state, None, length=n_steps)
 

@@ -369,13 +369,16 @@ class Zanlungo(LocalPlanner):
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
-                   use_pack_kernel: bool = False):
+                   use_pack_kernel: bool = False, spill_capacity: int = 0,
+                   affected_capacity: int = 0):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
         with ppermute halo exchange (parallel/domain.py).  Returns
-        (vel [N,2], max_tile_occupancy, dropped) — ``dropped`` counts
-        alive agents silently excluded by bucket/pack overflow."""
+        (vel [N,2], max_tile_occupancy, dropped).  With
+        ``spill_capacity`` > 0 bucket overflow is repaired exactly
+        (spill_patch) and ``dropped`` counts only cap overruns; with 0,
+        overflow agents are excluded (loudly, via ``dropped``)."""
         if world_mesh is not None:
             from ..parallel.domain import zanlungo_fused_domain
 
@@ -391,4 +394,6 @@ class Zanlungo(LocalPlanner):
             bucket_cfg, params, state.position, state.velocity, self_pref,
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
+            spill_capacity=spill_capacity,
+            affected_capacity=affected_capacity,
         )

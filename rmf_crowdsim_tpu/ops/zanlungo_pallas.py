@@ -656,16 +656,158 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     )(zparams4.astype(jnp.float32), packed_t.T, packed_t)
 
 
+def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
+                pref_committed, priority, eyesight, alive, rec_vel,
+                packed_t, bucket_pos, vel,
+                spill_capacity: int, affected_capacity: int):
+    """EXACT repair of bucket-overflow truncation (the reference's
+    per-cell sets are unbounded, location_hash_2d.rs:15).
+
+    Agents beyond a tile's ``cfg.bucket`` slots ("spills") are missing
+    from the packed plane: they got no force output, AND every query
+    within eyesight of one computed a wrong min-TTC (t_i enters every
+    pair force, zanlungo.rs:109-112) so its whole force sum is off.  This
+    pass recomputes all potentially-affected queries exactly in agent
+    space:
+
+    - spills  = alive agents with no bucket slot (<= ``spill_capacity``);
+    - affected = alive agents in any tile of a spill's 3x3 neighborhood
+      (eyesight <= tile_size bounds the blast radius; includes the
+      spills themselves) (<= ``affected_capacity``);
+    - each affected query's candidates = the packed rows of its own 3x3
+      window (its kernel candidates) + every spill — a superset of its
+      true in-eyesight neighbor set, masked exactly like the kernel
+      (strict dist < eyesight, self excluded);
+    - the jnp oracle (models/local.py zanlungo_velocity) evaluates those
+      queries; their rows of ``vel`` are overwritten.
+
+    Returns (vel, unresolved) — ``unresolved`` counts agents the static
+    caps could not cover (plus nothing else; callers add pack-kernel
+    overflow separately).  f32 summation order differs from the kernel
+    on the overwritten rows (tolerance-level).
+    """
+    from ..models.local import zanlungo_velocity
+
+    n = position.shape[0]
+    s_cap, a_cap = int(spill_capacity), int(affected_capacity)
+    b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    inv_tile = 1.0 / cfg.tile_size
+    tcx = jnp.clip(jnp.floor(
+        (position[:, 0] - cfg.offset[0]) * inv_tile).astype(jnp.int32),
+        0, tx - 1)
+    tcy = jnp.clip(jnp.floor(
+        (position[:, 1] - cfg.offset[1]) * inv_tile).astype(jnp.int32),
+        0, ty - 1)
+    tid = tcx * jnp.int32(ty) + tcy
+
+    is_spill = alive & (bucket_pos >= cfg.slots)
+    n_spill = jnp.sum(is_spill.astype(jnp.int32))
+
+    # Compact spill agent indices.
+    rank = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
+    keep = is_spill & (rank < s_cap)
+    tgt = jnp.where(keep, rank, jnp.int32(s_cap))
+    spill_idx = jnp.full((s_cap,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    spill_valid = spill_idx < n
+    spill_over = n_spill - jnp.sum(keep.astype(jnp.int32))
+
+    # Mark the 3x3 tile neighborhoods of all spill tiles.
+    sp_tcx = jnp.where(spill_valid, tcx[jnp.clip(spill_idx, 0, n - 1)], 0)
+    sp_tcy = jnp.where(spill_valid, tcy[jnp.clip(spill_idx, 0, n - 1)], 0)
+    marked = jnp.zeros((cfg.n_tiles,), jnp.bool_)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx = sp_tcx + dx
+            ny = sp_tcy + dy
+            ok = (spill_valid & (nx >= 0) & (nx < tx)
+                  & (ny >= 0) & (ny < ty))
+            t9 = jnp.where(ok, nx * ty + ny, cfg.n_tiles)
+            marked = marked.at[t9].set(True, mode="drop")
+
+    affected = alive & marked[tid]
+    n_aff = jnp.sum(affected.astype(jnp.int32))
+    a_rank = jnp.cumsum(affected.astype(jnp.int32)) - 1
+    a_keep = affected & (a_rank < a_cap)
+    a_tgt = jnp.where(a_keep, a_rank, jnp.int32(a_cap))
+    q_idx = jnp.full((a_cap,), n, jnp.int32).at[a_tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    q_valid = q_idx < n
+    aff_over = n_aff - jnp.sum(a_keep.astype(jnp.int32))
+    qc = jnp.clip(q_idx, 0, n - 1)
+
+    # Candidate table per query: its own 3x3 packed window + all spills.
+    q_tcx = tcx[qc]
+    q_tcy = tcy[qc]
+    wins = []
+    wvalid = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx = q_tcx + dx
+            ny = q_tcy + dy
+            ok = (nx >= 0) & (nx < tx) & (ny >= 0) & (ny < ty) & q_valid
+            t9 = jnp.where(ok, nx * ty + ny, 0)
+            base = t9[:, None] * b + jnp.arange(b, dtype=jnp.int32)[None, :]
+            wins.append(base)          # [A, b] packed slot ids
+            wvalid.append(ok[:, None] & jnp.ones((1, b), bool))
+    win_slots = jnp.concatenate(wins, axis=1)       # [A, 9b]
+    win_ok = jnp.concatenate(wvalid, axis=1)        # [A, 9b]
+    # Packed row -> original agent index (ROW_ID; -1 for empty slots).
+    cand_agent = packed_t[win_slots, ROW_ID].astype(jnp.int32)  # [A, 9b]
+    cand_ok = win_ok & (cand_agent >= 0)
+    # Append the spill list (spills are in no packed window).
+    cand_agent = jnp.concatenate(
+        [jnp.where(cand_ok, cand_agent, 0),
+         jnp.broadcast_to(jnp.where(spill_valid, spill_idx, 0),
+                          (a_cap, s_cap))],
+        axis=1,
+    )  # [A, 9b + s_cap]
+    cand_ok = jnp.concatenate(
+        [cand_ok, jnp.broadcast_to(spill_valid, (a_cap, s_cap))], axis=1
+    )
+
+    # Exact kernel mask: strict dist < eyesight(q), self excluded.
+    cpos = position[cand_agent]                      # [A, C, 2]
+    qpos = position[qc]
+    d2 = jnp.sum((cpos - qpos[:, None, :]) ** 2, axis=-1)
+    eye = eyesight[qc]
+    nbr_valid = (
+        cand_ok
+        & alive[cand_agent]
+        & (d2 < (eye * eye)[:, None])
+        & (cand_agent != qc[:, None])
+        & q_valid[:, None]
+    )
+
+    patched = zanlungo_velocity(
+        zp, position, velocity, self_pref[qc], pref_committed, priority,
+        cand_agent, nbr_valid, rec_vel[qc],
+        q_position=position[qc], q_velocity=velocity[qc],
+        q_priority=priority[qc],
+    )
+    vel = vel.at[jnp.where(q_valid, q_idx, n)].set(
+        patched.astype(vel.dtype), mode="drop"
+    )
+    return vel, (spill_over + aff_over).astype(jnp.int32)
+
+
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
-                   interpret: bool = False, use_pack_kernel: bool = False):
+                   interpret: bool = False, use_pack_kernel: bool = False,
+                   spill_capacity: int = 0, affected_capacity: int = 0):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
     candidate table).  Returns (vel [N, 2], max_tile_occupancy, dropped).
-    Agents dropped by bucket overflow (occupancy > cfg.bucket) keep
-    ``rec_vel``; ``dropped`` counts them (plus pack-kernel window
-    overflow) so the step can surface the truncation.
+
+    With ``spill_capacity`` > 0, bucket overflow (tile occupancy >
+    ``cfg.bucket``) is repaired EXACTLY by :func:`spill_patch` and
+    ``dropped`` counts only what the static caps could not cover (plus
+    pack-kernel window overflow).  With 0 (off), overflow agents keep
+    ``rec_vel`` and vanish as candidates — silent truncation, surfaced
+    through ``dropped``.
     """
     dtype = position.dtype
     packed_t, bucket_pos, max_occ, dropped = bucketize(
@@ -686,4 +828,17 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     ok = (bucket_pos < cfg.slots) & alive
     vel = out[safe].astype(dtype)
     vel = jnp.where(ok[:, None], vel, rec_vel)
+    if spill_capacity > 0:
+        # `dropped` from bucketize = bucket overflow + pack overflow; the
+        # patch resolves the bucket-overflow part exactly.
+        vel, unresolved = spill_patch(
+            cfg, zp, position, velocity, self_pref, pref_committed,
+            priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
+            spill_capacity, affected_capacity,
+        )
+        n_bucket_over = jnp.sum(
+            (alive & (bucket_pos >= cfg.slots)).astype(jnp.int32)
+        )
+        pack_over = dropped - n_bucket_over  # pack-kernel window overflow
+        dropped = (unresolved + pack_over).astype(jnp.int32)
     return vel, max_occ, dropped

@@ -67,9 +67,7 @@ def test_no_overflow_is_silent():
     sim.run(3, 1.0 / 60.0)
 
 
-def test_pallas_bucket_overflow_raises():
-    """grid_pallas backend (interpret mode): tile occupancy past
-    bucket_capacity raises through the fused path's dropped counter."""
+def _pallas_overflow_sim(**cfg_kw):
     cfg = SimConfig(
         capacity=64,
         grid=GridConfig(32.0, 32.0, 2.0, (0.0, 0.0)),
@@ -80,6 +78,7 @@ def test_pallas_bucket_overflow_raises():
         sub_tiles=14,
         pallas_interpret=True,
         on_truncation="raise",
+        **cfg_kw,
     )
     sim = Simulation(cfg)
     hl = ConstantVelocity((0.1, 0.0))
@@ -87,8 +86,38 @@ def test_pallas_bucket_overflow_raises():
     # 12 agents in one 2 m supertile, bucket capacity 8.
     pts = [(1.0 + 0.05 * i, 1.0) for i in range(12)]
     sim.add_agents(pts, hl, lp, 2.0)
+    return sim
+
+
+def test_pallas_bucket_overflow_raises_without_spill_patch():
+    """grid_pallas backend (interpret mode): with the spill patch off,
+    tile occupancy past bucket_capacity raises through the fused path's
+    dropped counter."""
+    sim = _pallas_overflow_sim(spill_capacity=0)
     with pytest.raises(NeighborTruncationError, match="4 agents"):
         sim.step(1.0 / 60.0)
+
+
+def test_pallas_bucket_overflow_repaired_by_spill_patch():
+    """Default config: the same overflowing scene steps cleanly — the
+    spill patch recomputes the overflow agents and their neighborhoods
+    exactly (no truncation event), matching the brute backend."""
+    sim = _pallas_overflow_sim()  # defaults: spill_capacity=128
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 0
+
+    ref_cfg = SimConfig(capacity=64, neighbor_backend="brute",
+                        on_truncation="raise")
+    ref = Simulation(ref_cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+    ref.add_agents([(1.0 + 0.05 * i, 1.0) for i in range(12)], hl, lp, 2.0)
+    ref.step(1.0 / 60.0)
+    import numpy as np
+
+    got = np.asarray([sim.agents[k].position for k in sorted(sim.agents)])
+    want = np.asarray([ref.agents[k].position for k in sorted(ref.agents)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_brute_backend_never_truncates():

@@ -210,3 +210,66 @@ def test_pack_kernel_overflow_diagnostic():
     # counts only the unreachable tail rows of group 0's row range.
     assert packed.shape == (slots, NUM_F)
     assert int(overflow) >= 0  # diagnostic is well-defined
+
+
+def test_spill_patch_repairs_overflow_exactly():
+    """Bucket overflow with spill_capacity > 0 must match the oracle for
+    EVERY agent — including the overflow agents and their neighbors (the
+    reference's cells are unbounded, location_hash_2d.rs:15)."""
+    n = 96
+    world = 24.0
+    eyesight_max = 3.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    rng = np.random.default_rng(11)
+    f32 = jnp.float32
+    # 30 agents crammed into one tile (occupancy >> bucket 16), the rest
+    # spread out.
+    pos = rng.uniform(0.0, world, (n, 2))
+    pos[:30] = rng.uniform(9.0, 11.5, (30, 2))
+    pos = jnp.asarray(pos, f32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    self_pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    prio = jnp.asarray(rng.permutation(n).astype(np.float32))
+    eye = jnp.asarray(rng.uniform(0.5, eyesight_max, (n,)), f32)
+    alive = jnp.asarray(rng.random(n) > 0.1)
+    rec = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    scene = (pos, vel, self_pref, pref, prio, eye, alive, rec)
+
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True,
+        spill_capacity=64, affected_capacity=96)
+    assert int(max_occ) > cfg.bucket, "scene must actually overflow"
+    assert int(dropped) == 0, "patch should resolve all overflow"
+    want = oracle(zp, scene)
+    a = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
+
+    # Without the patch the same scene truncates (loudly).
+    got0, _, dropped0 = zanlungo_fused(cfg, zp, *scene, interpret=True)
+    assert int(dropped0) > 0
+    err = np.abs(np.asarray(got0)[a] - np.asarray(want)[a]).max()
+    assert err > 1e-3, "truncation should visibly corrupt physics"
+
+
+def test_spill_patch_cap_overrun_is_counted():
+    """Overflow beyond the static caps must surface in `dropped`."""
+    n = 64
+    world = 24.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    rng = np.random.default_rng(5)
+    f32 = jnp.float32
+    pos = jnp.asarray(rng.uniform(10.0, 11.0, (n, 2)), f32)  # one hotspot
+    vel = jnp.zeros((n, 2), f32)
+    scene = (pos, vel, vel, vel, jnp.arange(n, dtype=f32),
+             jnp.full((n,), 2.0, f32), jnp.ones((n,), bool), vel)
+    _, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True,
+        spill_capacity=4, affected_capacity=8)
+    assert int(max_occ) > cfg.bucket
+    assert int(dropped) > 0
