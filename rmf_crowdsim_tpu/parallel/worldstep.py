@@ -1,0 +1,724 @@
+"""Whole-step spatial domain decomposition over a device mesh.
+
+The round-1 domain decomposition (parallel/domain.py) sharded only the
+force pass; everything else ran replicated.  This module shards the
+ENTIRE step — spawn, planners, the fused force kernel, integration,
+waypoint bookkeeping, despawn — inside ONE ``shard_map`` over a 1D mesh
+of world columns: the multi-chip analog of the reference's entire
+``Simulation::step`` (lib.rs:195-383), with agents migrating between
+shards as they move.
+
+Layout
+------
+- The world's ``tx`` supertile columns (ops/zanlungo_pallas.BucketConfig)
+  are split into ``D`` contiguous regions of ``cols_per = tx / D``
+  columns; device ``i`` owns region ``i`` and the agents currently inside
+  it.  The agent SoA (capacity ``N``) is sharded ``P("world_x")`` over
+  the agent dim: each shard holds ``M = N / D`` slots.
+- **Forces**: each shard bucketizes its own agents directly into an
+  extended ``(cols_per + 2)``-column block (its region shifted one halo
+  column right), fills the two halo columns from its neighbors via
+  ``jax.lax.ppermute`` over ICI, and runs the unchanged fused kernel on
+  the extended block.
+- **Migration**: after integration, agents whose x crossed a region
+  boundary are compacted into fixed-capacity records and ppermuted to
+  the neighboring shard, which inserts them into free slots.  World-edge
+  agents stay put (flagged ``out_of_bounds`` like the single-device
+  step).  An agent outstripping one full region per step settles over
+  two steps (counted in ``stray`` meanwhile).
+- **Spawns** (lib.rs:199-254): generator draws use the replicated PRNG
+  key, so every shard sees the same per-source request vector; the 0.4 m
+  clearance test is a ``psum`` of per-shard disc checks (exact — no
+  restriction on source placement); uids stay globally ordered by a
+  replicated scan over the per-source spawn decisions.  The spawning
+  source takes a free slot on the shard that owns it.
+
+Sharding invariance (tested: 8 devices vs 1, bitwise)
+----------------------------------------------------
+Force sums are ordered by the packed slot layout, and migration arrival
+order would perturb shard-local slot order — so this engine bucketizes
+in canonical ``(tile, uid)`` order (a uid pre-sort feeding the stable
+tile sort), making every candidate window's content AND order
+independent of slot history.  All other phases are elementwise or
+keyed by uid.  Capacity-pressure corner cases diverge from the
+single-device ``build_step``: a spawn is dropped when its *shard* is
+full (not the global array), and uids advance by requested-spawn count
+so shard-capacity drops never alias ids.
+
+Scope: ``neighbor_backend == "grid_pallas"``; local planners must be
+slot-free (``NoLocalPlan``) or provide the fused kernel (``Zanlungo``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import BACKEND_GRID_PALLAS, SimConfig
+from ..core.state import SimState, StepEvents
+from ..core.step import SimParams
+from ..models.source_sink import GEN_POISSON, SourceParams
+from ..ops import grid as grid_ops
+from ..ops.zanlungo_pallas import (
+    NUM_F,
+    ROW_ID,
+    ROW_PX,
+    ROW_PY,
+    _POS_SENTINEL,
+    BucketConfig,
+    bucketize,
+    zanlungo_forces_bucketed,
+)
+
+WORLD_AXIS = "world_x"
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class WorldDiag:
+    """Per-step domain-decomposition diagnostics (all global, replicated).
+
+    Nonzero ``migration_overflow`` / ``arrival_dropped`` mean agents were
+    left in the wrong region / LOST — callers must surface both."""
+
+    migrated: jax.Array            # [] int32 — agents that switched shards
+    migration_overflow: jax.Array  # [] int32 — leavers beyond the per-step
+    #                                buffer (stay put, retry next step)
+    arrival_dropped: jax.Array     # [] int32 — arrivals with no free slot
+    stray: jax.Array               # [] int32 — agents outside their
+    #                                shard's region at force time
+
+
+def _compact_rows(mask, k: int, arrays: dict):
+    """Scatter ``arrays[mask]`` into fixed-``k`` buffers (rank order).
+    Returns (records dict with int rows -1-filled / float rows 0-filled,
+    n_over)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    keep = mask & (rank < k)
+    tgt = jnp.where(keep, rank, jnp.int32(k))
+    out = {}
+    for name, arr in arrays.items():
+        if jnp.issubdtype(arr.dtype, jnp.integer):
+            base = jnp.full((k,) + arr.shape[1:], -1, arr.dtype)
+        else:
+            base = jnp.zeros((k,) + arr.shape[1:], arr.dtype)
+        out[name] = base.at[tgt].set(arr, mode="drop")
+    n_over = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+    return out, n_over
+
+
+def _free_slot_targets(alive, want_mask_or_count):
+    """Ascending free-slot index for each rank (padded with M)."""
+    m = alive.shape[0]
+    free = ~alive
+    n_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = jnp.sort(
+        jnp.where(free, jnp.arange(m, dtype=jnp.int32), jnp.int32(m))
+    )
+    return slot_of_rank, n_free
+
+
+def build_world_step(
+    config: SimConfig,
+    hl_planners: Sequence[Any],
+    lp_planners: Sequence[Any],
+    mesh: Mesh,
+    migration_capacity: int = 0,
+):
+    """Construct the world-sharded ``step(params, state, dt) ->
+    (state, events, diag)``, jitted over ``mesh`` (axis ``"world_x"``).
+
+    ``state`` is a standard global SimState whose agent dim is sharded
+    ``P(WORLD_AXIS)``; agents must start in the region owning their
+    position (``shard_state_by_region``).  ``migration_capacity`` bounds
+    per-direction leavers per shard per step (default ``max(8, M // 8)``).
+    """
+    assert config.neighbor_backend == BACKEND_GRID_PALLAS, (
+        "the world-sharded engine needs the grid_pallas backend"
+    )
+    for p in lp_planners:
+        assert (not getattr(p, "needs_neighbors", True)) or hasattr(
+            p, "plan_fused"
+        ), "world-sharded local planners must be fused (Zanlungo) or slot-free"
+
+    d = mesh.shape[WORLD_AXIS]
+    hl_planners = tuple(hl_planners)
+    lp_planners = tuple(lp_planners)
+
+    cfg0 = BucketConfig.create(
+        config.grid.width, config.grid.height, config.grid.offset,
+        config.max_eyesight, bucket=config.bucket_capacity,
+        strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
+        tile_size=config.bucket_tile_size or None,
+    )
+    tx = cfg0.tx
+    if tx % d:
+        tx = (tx // d + 1) * d
+    cols_per = tx // d
+    # Kernel block: my columns shifted +1, plus the two halo columns.
+    ext_cfg = dataclasses.replace(cfg0, tx=cols_per + 2)
+    col_slots = cfg0.ty * cfg0.bucket
+    region_w = cfg0.tile_size * cols_per
+    x0 = cfg0.offset[0]
+
+    assert config.capacity % d == 0, (
+        f"capacity {config.capacity} must divide over {d} devices"
+    )
+    m = config.capacity // d
+    k_mig = int(migration_capacity) or max(8, m // 8)
+    f = config.jdtype
+
+    def spawn_phase(sp: SourceParams, st: SimState, dt, key, i):
+        """Phase A (lib.rs:199-254) with shard-local slot allocation and
+        globally-ordered uids.  Mirrors core/step._spawn_phase; decisions
+        (requests, clearance) are replicated via psum."""
+        s = sp.source.shape[0]
+        rt = sp.rate * jnp.asarray(dt, f)
+        mono = jnp.floor(rt + 0.5).astype(jnp.int32)
+        pois = jax.random.poisson(key, rt.astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        n_requested = jnp.where(sp.gen_kind == GEN_POISSON, pois, mono)
+        n_requested = jnp.where(sp.active, n_requested, 0)
+
+        # Clearance against pre-spawn state, exact across shards: each
+        # shard tests its own agents, psum ORs the verdicts.
+        diff = st.position[None, :, :] - sp.source[:, None, :]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        blocked_local = jnp.any(
+            st.alive[None, :]
+            & (dist < jnp.asarray(config.spawn_clearance, f)),
+            axis=1,
+        )
+        blocked = jax.lax.psum(
+            blocked_local.astype(jnp.int32), WORLD_AXIS
+        ) > 0
+        want = (n_requested > 0) & ~blocked  # replicated
+        rank_global = jnp.cumsum(want.astype(jnp.int32)) - 1
+        new_uid = (st.next_uid + rank_global).astype(jnp.int32)
+
+        own = jnp.clip(
+            jnp.floor((sp.source[:, 0] - x0) / region_w).astype(jnp.int32),
+            0, d - 1,
+        )
+        mine = want & (own == i)
+        local_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        slot_of_rank, n_free = _free_slot_targets(st.alive, None)
+        can = mine & (local_rank < n_free)
+        slot = slot_of_rank[jnp.clip(local_rank, 0, m - 1)]
+        tgt = jnp.where(can, slot, jnp.int32(m))
+
+        src_idx = jnp.arange(s, dtype=jnp.int32)
+        zero2 = jnp.zeros((s, 2), f)
+        leg0 = sp.leg_route[:, 0]
+
+        def scat(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop")
+
+        n_spawned_global = jax.lax.psum(
+            jnp.sum(can.astype(jnp.int32)), WORLD_AXIS
+        )
+        st = st.replace(
+            position=scat(st.position, sp.source),
+            velocity=scat(st.velocity, zero2),
+            preferred_vel=scat(st.preferred_vel, zero2),
+            next_waypoint=scat(st.next_waypoint, jnp.zeros((s,), jnp.int32)),
+            eyesight=scat(st.eyesight, sp.eyesight),
+            alive=scat(st.alive, jnp.ones((s,), jnp.bool_)),
+            uid=scat(st.uid, new_uid),
+            source_id=scat(st.source_id, src_idx),
+            hl_idx=scat(st.hl_idx, sp.hl_idx),
+            lp_idx=scat(st.lp_idx, sp.lp_idx),
+            route_id=scat(st.route_id, leg0),
+            route_wp=scat(st.route_wp, jnp.zeros((s,), jnp.int32)),
+            priority=scat(st.priority, new_uid.astype(f)),
+            # uids advance by the requested count so shard-capacity drops
+            # can never alias ids (see module docstring).
+            next_uid=st.next_uid
+            + jnp.sum(want.astype(jnp.int32), dtype=jnp.int32),
+        )
+        spawned = jnp.zeros((m,), jnp.bool_).at[tgt].set(True, mode="drop")
+        dropped = jnp.sum(n_requested) - n_spawned_global
+        return st, spawned, dropped
+
+    def local_forces(st: SimState, rec_vel, self_pref, lp_params, i):
+        """Per-shard canonical bucketize + halo exchange + fused kernel.
+        Returns (vel [M,2], max_occ, truncated, stray) — vel only valid
+        for fused-planner agents (callers select per lp_idx)."""
+        # Canonical (tile, uid) candidate order: a uid pre-sort feeding
+        # bucketize's stable tile sort (sharding invariance — see module
+        # docstring).
+        uid_key = jnp.where(st.alive, st.uid, _I32_MAX)
+        ord_u = jnp.argsort(uid_key).astype(jnp.int32)
+
+        # Shift into the extended block: my region occupies columns
+        # [1, cols_per]; columns 0 / cols_per+1 are halo (filled below).
+        shift = (i.astype(f) * cols_per - 1) * jnp.asarray(cfg0.tile_size, f)
+        pos_sh = st.position.at[:, 0].add(-shift)
+
+        # Stray diagnostic: an in-world agent outside its shard's columns
+        # gets clipped into a halo column and then overwritten (its
+        # forces are wrong for this step) — zero after a clean migration,
+        # surfaced if not.  Agents outside the world's x-range entirely
+        # are excluded: they are flagged out_of_bounds instead and —
+        # unlike the single-device step, which clamps them into the edge
+        # tile — sit in the (overwritten) halo column, losing force
+        # interactions until they re-enter.  The reference errors the
+        # whole step on out-of-grid agents (location_hash_2d.rs:61-63).
+        colf = jnp.floor(
+            (pos_sh[:, 0] - jnp.asarray(x0, f))
+            / jnp.asarray(cfg0.tile_size, f)
+        ).astype(jnp.int32)
+        gcol = i.astype(jnp.int32) * cols_per + colf - 1
+        in_world = (gcol >= 0) & (gcol < tx)
+        stray = jnp.sum(
+            (st.alive & in_world
+             & ((colf < 1) | (colf > cols_per))).astype(jnp.int32)
+        )
+
+        zp = lp_params
+        packed, bpos_perm, occ, dropped = bucketize(
+            ext_cfg,
+            pos_sh[ord_u],
+            st.velocity[ord_u],
+            st.preferred_vel[ord_u],
+            self_pref[ord_u],
+            st.priority[ord_u],
+            st.eyesight[ord_u],
+            rec_vel[ord_u],
+            st.alive[ord_u],
+            use_pack_kernel=config.use_pack_kernel,
+            interpret=config.pallas_interpret,
+        )
+        bucket_pos = (
+            jnp.full((m,), ext_cfg.slots, jnp.int32)
+            .at[ord_u].set(bpos_perm)
+        )
+
+        # Halo exchange: my LAST real column -> right neighbor's left
+        # halo; my FIRST real column -> left neighbor's right halo.
+        sent = jnp.zeros((col_slots, NUM_F), jnp.float32)
+        sent = sent.at[:, ROW_PX].set(_POS_SENTINEL)
+        sent = sent.at[:, ROW_PY].set(_POS_SENTINEL)
+        sent = sent.at[:, ROW_ID].set(-1.0)
+
+        last_real = packed[cols_per * col_slots:(cols_per + 1) * col_slots]
+        first_real = packed[col_slots:2 * col_slots]
+        left_halo = jax.lax.ppermute(
+            last_real, WORLD_AXIS, [(j, j + 1) for j in range(d - 1)]
+        )
+        right_halo = jax.lax.ppermute(
+            first_real, WORLD_AXIS, [(j + 1, j) for j in range(d - 1)]
+        )
+        left_halo = jnp.where(i == 0, sent, left_halo)
+        right_halo = jnp.where(i == d - 1, sent, right_halo)
+        # Halo slot ids are the NEIGHBOR's local row indices and collide
+        # with local ids; offset them so the kernel's self-pair test
+        # (cid == qid) can't mask a real neighbor.  Ids stay < 3m < 2^24.
+        left_halo = left_halo.at[:, ROW_ID].set(
+            jnp.where(left_halo[:, ROW_ID] >= 0,
+                      left_halo[:, ROW_ID] + float(m), -1.0)
+        )
+        right_halo = right_halo.at[:, ROW_ID].set(
+            jnp.where(right_halo[:, ROW_ID] >= 0,
+                      right_halo[:, ROW_ID] + float(2 * m), -1.0)
+        )
+        packed = packed.at[:col_slots].set(left_halo)
+        packed = packed.at[(cols_per + 1) * col_slots:].set(right_halo)
+
+        out = zanlungo_forces_bucketed(
+            ext_cfg, zp, packed, interpret=config.pallas_interpret
+        )
+        safe = jnp.clip(bucket_pos, 0, ext_cfg.slots - 1)
+        ok = (bucket_pos < ext_cfg.slots) & st.alive
+        vel = jnp.where(ok[:, None], out[safe].astype(f), rec_vel)
+        return vel, occ, dropped, stray
+
+    def migrate(st: SimState, i):
+        """ppermute boundary-crossing agents to the neighboring shard."""
+        reg_lo = jnp.asarray(x0, f) + i.astype(f) * jnp.asarray(region_w, f)
+        reg_hi = reg_lo + jnp.asarray(region_w, f)
+        x = st.position[:, 0]
+        go_l = st.alive & (x < reg_lo) & (i > 0)
+        go_r = st.alive & (x >= reg_hi) & (i < d - 1)
+
+        fields = dict(
+            position=st.position, velocity=st.velocity,
+            preferred_vel=st.preferred_vel, next_waypoint=st.next_waypoint,
+            eyesight=st.eyesight, uid=st.uid, source_id=st.source_id,
+            hl_idx=st.hl_idx, lp_idx=st.lp_idx, route_id=st.route_id,
+            route_wp=st.route_wp, priority=st.priority,
+        )
+        send_l, over_l = _compact_rows(go_l, k_mig, fields)
+        send_r, over_r = _compact_rows(go_r, k_mig, fields)
+        # Leavers beyond the buffer stay (retry next step, counted).
+        rank_l = jnp.cumsum(go_l.astype(jnp.int32)) - 1
+        rank_r = jnp.cumsum(go_r.astype(jnp.int32)) - 1
+        left_ok = go_l & (rank_l < k_mig)
+        right_ok = go_r & (rank_r < k_mig)
+
+        perm_r = [(j, j + 1) for j in range(d - 1)]  # rightward send
+        perm_l = [(j + 1, j) for j in range(d - 1)]  # leftward send
+        recv_from_left = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, WORLD_AXIS, perm_r), send_r
+        )
+        recv_from_right = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, WORLD_AXIS, perm_l), send_l
+        )
+        # Edge devices receive zeros from nonexistent neighbors; uid -1
+        # marks validity, so zero rows are only valid if uid == 0 leaks —
+        # mask explicitly by device index.
+        lv = (recv_from_left["uid"] >= 0) & (i > 0)
+        rv = (recv_from_right["uid"] >= 0) & (i < d - 1)
+
+        st = st.replace(alive=st.alive & ~(left_ok | right_ok))
+
+        arrivals = {
+            name: jnp.concatenate(
+                [recv_from_left[name], recv_from_right[name]], axis=0
+            )
+            for name in fields
+        }
+        avalid = jnp.concatenate([lv, rv], axis=0)
+        a_rank = jnp.cumsum(avalid.astype(jnp.int32)) - 1
+        slot_of_rank, n_free = _free_slot_targets(st.alive, None)
+        can = avalid & (a_rank < n_free)
+        tgt = jnp.where(
+            can, slot_of_rank[jnp.clip(a_rank, 0, m - 1)], jnp.int32(m)
+        )
+
+        def ins(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop")
+
+        st = st.replace(
+            position=ins(st.position, arrivals["position"]),
+            velocity=ins(st.velocity, arrivals["velocity"]),
+            preferred_vel=ins(st.preferred_vel, arrivals["preferred_vel"]),
+            next_waypoint=ins(st.next_waypoint, arrivals["next_waypoint"]),
+            eyesight=ins(st.eyesight, arrivals["eyesight"]),
+            alive=ins(st.alive, can),
+            uid=ins(st.uid, arrivals["uid"]),
+            source_id=ins(st.source_id, arrivals["source_id"]),
+            hl_idx=ins(st.hl_idx, arrivals["hl_idx"]),
+            lp_idx=ins(st.lp_idx, arrivals["lp_idx"]),
+            route_id=ins(st.route_id, arrivals["route_id"]),
+            route_wp=ins(st.route_wp, arrivals["route_wp"]),
+            priority=ins(st.priority, arrivals["priority"]),
+        )
+        migrated = jax.lax.psum(
+            jnp.sum((left_ok | right_ok).astype(jnp.int32)), WORLD_AXIS
+        )
+        overflow = jax.lax.psum(over_l + over_r, WORLD_AXIS)
+        lost = jax.lax.psum(
+            jnp.sum((avalid & ~can).astype(jnp.int32)), WORLD_AXIS
+        )
+        return st, migrated, overflow, lost
+
+    def local_step(params: SimParams, st: SimState, dt):
+        """The per-shard step body (inside shard_map)."""
+        i = jax.lax.axis_index(WORLD_AXIS)
+        dt = jnp.asarray(dt, f)
+        key, spawn_key = jax.random.split(st.rng_key)
+        st = st.replace(rng_key=key)
+
+        # ---- Phase A: spawn ----
+        if params.sources is not None:
+            st, spawned, spawn_dropped = spawn_phase(
+                params.sources, st, dt, spawn_key, i
+            )
+        else:
+            spawned = jnp.zeros((m,), jnp.bool_)
+            spawn_dropped = jnp.zeros((), jnp.int32)
+
+        # ---- Phase B: HL planners (local, elementwise) ----
+        vel = jnp.zeros((m, 2), f)
+        self_pref = st.preferred_vel
+        route_wp = st.route_wp
+        for pi, planner in enumerate(hl_planners):
+            res = planner.plan(params.hl[pi], st)
+            sel = st.hl_idx == jnp.int32(pi)
+            use = sel & res.valid & st.alive
+            vel = jnp.where(use[:, None], res.vel, vel)
+            self_pref = jnp.where(use[:, None], res.vel, self_pref)
+            route_wp = jnp.where(sel & st.alive, res.route_wp, route_wp)
+        st = st.replace(route_wp=route_wp)
+
+        # ---- local planners: fused force pass with halo exchange ----
+        max_occ = jnp.zeros((), jnp.int32)
+        truncated = jnp.zeros((), jnp.int32)
+        stray = jnp.zeros((), jnp.int32)
+        for pi, planner in enumerate(lp_planners):
+            if hasattr(planner, "plan_fused"):
+                zp = params.lp[pi]
+                z5 = jnp.stack([
+                    zp.agent_scale.astype(jnp.float32),
+                    zp.force_distance.astype(jnp.float32),
+                    zp.agent_mass.astype(jnp.float32),
+                    zp.agent_radius.astype(jnp.float32),
+                    zp.force_cap.astype(jnp.float32),
+                ])
+                v, occ, dropped, stray_i = local_forces(
+                    st, vel, self_pref, z5, i
+                )
+                max_occ = jnp.maximum(
+                    max_occ, jax.lax.pmax(occ, WORLD_AXIS)
+                )
+                truncated = truncated + jax.lax.psum(dropped, WORLD_AXIS)
+                stray = stray + jax.lax.psum(stray_i, WORLD_AXIS)
+            else:
+                v = planner.plan(params.lp[pi], st, None, vel, self_pref)
+            sel = (st.lp_idx == jnp.int32(pi)) & st.alive
+            vel = jnp.where(sel[:, None], v, vel)
+
+        # ---- integration + out-of-bounds flag ----
+        new_pos = st.position + vel * dt
+        _, _, in_bounds = grid_ops.cell_coords(config.grid, new_pos)
+        out_of_bounds = st.alive & ~in_bounds
+
+        # ---- SourceSink waypoint bookkeeping (lib.rs:304-336) ----
+        destroyed = jnp.zeros((m,), jnp.bool_)
+        reached = jnp.zeros((m,), jnp.bool_)
+        if params.sources is not None:
+            sp = params.sources
+            s = sp.source.shape[0]
+            w = sp.waypoints.shape[1]
+            has_ss = st.alive & (st.source_id >= 0)
+            src = jnp.clip(st.source_id, 0, s - 1)
+            wlen = sp.n_waypoints[src]
+            rogue = has_ss & (st.next_waypoint >= wlen)
+            wp_c = jnp.clip(st.next_waypoint, 0, w - 1)
+            target = sp.waypoints[src, wp_c]
+            dd = jnp.linalg.norm(st.position - target, axis=-1)
+            reached = has_ss & ~rogue & (dd < sp.radius_sink[src])
+            at_last = st.next_waypoint == wlen - 1
+            looping = sp.loop_forever[src]
+            despawn = reached & at_last & ~looping
+            wrap = reached & at_last & looping
+            advance = reached & ~at_last
+            next_wp = jnp.where(
+                wrap, 0,
+                jnp.where(advance, st.next_waypoint + 1, st.next_waypoint),
+            )
+            route_id = st.route_id
+            route_wp = st.route_wp
+            for pi, planner in enumerate(hl_planners):
+                if getattr(planner, "uses_routes", False):
+                    sel = advance & (st.hl_idx == jnp.int32(pi))
+                    new_rid = sp.leg_route[src, jnp.clip(next_wp, 0, w - 1)]
+                    route_id = jnp.where(sel, new_rid, route_id)
+                    route_wp = jnp.where(sel, 0, route_wp)
+            destroyed = despawn | rogue
+            st = st.replace(
+                next_waypoint=jnp.where(has_ss, next_wp, st.next_waypoint),
+                route_id=route_id,
+                route_wp=route_wp,
+            )
+
+        # ---- commit + despawn ----
+        alive_pre = st.alive
+        pos_premove = st.position
+        committed_pref = (
+            jnp.where(alive_pre[:, None], self_pref, st.preferred_vel)
+            if config.commit_preferred_vel
+            else st.preferred_vel
+        )
+        st = st.replace(
+            position=jnp.where(alive_pre[:, None], new_pos, st.position),
+            velocity=jnp.where(alive_pre[:, None], vel, st.velocity),
+            preferred_vel=committed_pref,
+            alive=alive_pre & ~destroyed,
+            sim_time=st.sim_time + dt,
+        )
+
+        events = StepEvents(
+            spawned=spawned,
+            destroyed=destroyed,
+            waypoint_reached=reached,
+            spawn_position=jnp.where(
+                spawned[:, None], pos_premove, jnp.zeros((m, 2), f)
+            ),
+            destroyed_uid=jnp.where(destroyed, st.uid, -1),
+            waypoint_position=jnp.where(
+                reached[:, None], pos_premove, jnp.zeros((m, 2), f)
+            ),
+            out_of_bounds=out_of_bounds,
+            spawn_dropped=spawn_dropped.astype(jnp.int32),
+            max_cell_occupancy=max_occ,
+            neighbor_truncated=truncated,
+        )
+
+        # ---- migration ----
+        st, migrated, overflow, lost = migrate(st, i)
+        diag = WorldDiag(
+            migrated=migrated,
+            migration_overflow=overflow,
+            arrival_dropped=lost,
+            stray=stray,
+        )
+        return st, events, diag
+
+    def spec_of(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == config.capacity:
+            return P(WORLD_AXIS)
+        return P()
+
+    # Per-agent event leaves are shard-local [m]; the scalar diagnostics
+    # are replicated (psum/pmax'd inside the body).
+    ev_specs = StepEvents(
+        spawned=P(WORLD_AXIS),
+        destroyed=P(WORLD_AXIS),
+        waypoint_reached=P(WORLD_AXIS),
+        spawn_position=P(WORLD_AXIS),
+        destroyed_uid=P(WORLD_AXIS),
+        waypoint_position=P(WORLD_AXIS),
+        out_of_bounds=P(WORLD_AXIS),
+        spawn_dropped=P(),
+        max_cell_occupancy=P(),
+        neighbor_truncated=P(),
+    )
+    diag_specs = WorldDiag(P(), P(), P(), P())
+
+    def step(params, state: SimState, dt):
+        in_state_spec = jax.tree_util.tree_map(spec_of, state)
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                jax.tree_util.tree_map(lambda _: P(), params),
+                in_state_spec,
+                P(),
+            ),
+            out_specs=(in_state_spec, ev_specs, diag_specs),
+            check_vma=False,
+        )
+        return fn(params, state, dt)
+
+    return step
+
+
+def shard_state_by_region(config: SimConfig, mesh: Mesh,
+                          state: SimState) -> SimState:
+    """Re-pack a global SimState so each shard's slot block holds exactly
+    the agents inside its world region (required before
+    build_world_step), then device_put with the engine's shardings."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from ..core.state import make_state
+
+    d = mesh.shape[WORLD_AXIS]
+    cfg0 = BucketConfig.create(
+        config.grid.width, config.grid.height, config.grid.offset,
+        config.max_eyesight, bucket=config.bucket_capacity,
+        strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
+        tile_size=config.bucket_tile_size or None,
+    )
+    tx = cfg0.tx
+    if tx % d:
+        tx = (tx // d + 1) * d
+    region_w = cfg0.tile_size * (tx // d)
+    n = config.capacity
+    m = n // d
+    host = jax.device_get(state)
+    pos = np.asarray(host.position)
+    alive = np.asarray(host.alive)
+    region = np.clip(
+        np.floor((pos[:, 0] - cfg0.offset[0]) / region_w).astype(np.int64),
+        0, d - 1,
+    )
+    fresh = jax.device_get(make_state(config))
+    per_agent = [
+        fld.name for fld in _dc.fields(SimState)
+        if np.asarray(getattr(host, fld.name)).ndim >= 1
+        and np.asarray(getattr(host, fld.name)).shape[0] == n
+        and fld.name != "rng_key"
+    ]
+    updates = {}
+    for name in per_agent:
+        arr = np.array(np.asarray(getattr(fresh, name)))
+        src = np.asarray(getattr(host, name))
+        for dev in range(d):
+            rows = np.flatnonzero(alive & (region == dev))
+            assert len(rows) <= m, (
+                f"region {dev} holds {len(rows)} agents > shard capacity {m}"
+            )
+            arr[dev * m:dev * m + len(rows)] = src[rows]
+        updates[name] = jnp.asarray(arr)
+    out = host.replace(**updates)
+
+    shard = NamedSharding(mesh, P(WORLD_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, out)
+
+
+@struct.dataclass
+class WorldCounters:
+    """Per-step global counters from the world-sharded rollout."""
+
+    n_alive: jax.Array
+    n_spawned: jax.Array
+    n_destroyed: jax.Array
+    n_waypoint_reached: jax.Array
+    spawn_dropped: jax.Array
+    out_of_bounds: jax.Array
+    max_cell_occupancy: jax.Array
+    neighbor_truncated: jax.Array
+    migrated: jax.Array
+    migration_overflow: jax.Array
+    arrival_dropped: jax.Array
+    stray: jax.Array
+
+
+def build_world_rollout(
+    config: SimConfig,
+    hl_planners: Sequence[Any],
+    lp_planners: Sequence[Any],
+    mesh: Mesh,
+    migration_capacity: int = 0,
+):
+    """Multi-step world-sharded rollout: ``rollout(params, state, dt,
+    n_steps) -> (state, WorldCounters)`` with the scan inside the
+    shard_map (one compiled SPMD program, no per-step re-entry)."""
+    step = build_world_step(
+        config, hl_planners, lp_planners, mesh,
+        migration_capacity=migration_capacity,
+    )
+    # The shard_map'd step nests under scan (specs are loop-invariant).
+
+    def rollout(params, state, dt, n_steps: int):
+        def body(st, _):
+            st, ev, diag = step(params, st, dt)
+            c = WorldCounters(
+                n_alive=jnp.sum(st.alive.astype(jnp.int32)),
+                n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
+                n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
+                n_waypoint_reached=jnp.sum(
+                    ev.waypoint_reached.astype(jnp.int32)
+                ),
+                spawn_dropped=ev.spawn_dropped,
+                out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
+                max_cell_occupancy=ev.max_cell_occupancy,
+                neighbor_truncated=ev.neighbor_truncated,
+                migrated=diag.migrated,
+                migration_overflow=diag.migration_overflow,
+                arrival_dropped=diag.arrival_dropped,
+                stray=diag.stray,
+            )
+            return st, c
+
+        return jax.lax.scan(body, state, None, length=int(n_steps))
+
+    return jax.jit(rollout, static_argnums=(3,), donate_argnums=(1,))

@@ -1,0 +1,148 @@
+"""Whole-step domain decomposition (parallel/worldstep.py): the ENTIRE
+step — spawn, planners, fused forces, integration, waypoint bookkeeping,
+despawn — sharded over the world mesh, with agents MIGRATING between
+shards.  The claim under test is sharding invariance: an 8-device run is
+BITWISE identical to a 1-device run of the same engine while agents
+stream across region boundaries (VERDICT round-1 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmf_crowdsim_tpu import (
+    ConstantVelocity,
+    GridConfig,
+    MonotonicCrowd,
+    SimConfig,
+    SourceSink,
+    Zanlungo,
+    make_state,
+)
+from rmf_crowdsim_tpu.core.step import SimParams, build_rollout
+from rmf_crowdsim_tpu.models.source_sink import stack_source_params
+from rmf_crowdsim_tpu.parallel.worldstep import (
+    WORLD_AXIS,
+    build_world_rollout,
+    shard_state_by_region,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices"
+)
+
+
+def make_scene(capacity=128):
+    """A streaming scene whose agents cross all 8 region boundaries:
+    sources on the left edge, sinks on the right, Zanlungo forces on."""
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        pallas_interpret=True,
+        dtype="float32",
+        on_truncation="ignore",
+    )
+    hl = ConstantVelocity((1.5, 0.0))
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=10.0)
+    sources = []
+    for k, y in enumerate((12.0, 24.0, 36.0)):
+        sources.append(SourceSink(
+            source=(2.0, y),
+            waypoints=[(45.0, y)],
+            radius_sink=1.5,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=hl,
+            local_planner=lp,
+            agent_eyesight_range=3.0,
+        ))
+    sp = stack_source_params(
+        sources, [0] * len(sources), [0] * len(sources),
+        [[-1] * len(s.waypoints) for s in sources], cfg.jdtype,
+    )
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=sp)
+    state = make_state(cfg, seed=3)
+    return cfg, hl, lp, params, state
+
+
+def run_world(n_devices: int, n_steps: int = 40):
+    cfg, hl, lp, params, state = make_scene()
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:n_devices]), (WORLD_AXIS,)
+    )
+    state = shard_state_by_region(cfg, mesh, state)
+    rollout = build_world_rollout(cfg, [hl], [lp], mesh)
+    st, counters = rollout(params, state, 1.0, n_steps)
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    vel = np.asarray(st.velocity)
+    nwp = np.asarray(st.next_waypoint)
+    agents = {
+        int(uid[i]): (pos[i, 0], pos[i, 1], vel[i, 0], vel[i, 1],
+                      int(nwp[i]))
+        for i in np.flatnonzero(alive)
+    }
+    return agents, jax.device_get(counters), st
+
+
+def test_world_sharded_matches_single_device_bitwise():
+    a8, c8, _ = run_world(8)
+    a1, c1, _ = run_world(1)
+
+    # Agents actually migrated across shards in the 8-device run, and
+    # nothing was lost or mis-regioned.
+    assert int(np.sum(c8.migrated)) > 0
+    assert int(np.sum(c8.migration_overflow)) == 0
+    assert int(np.sum(c8.arrival_dropped)) == 0
+    assert int(np.sum(c8.stray)) == 0
+    assert int(np.sum(c1.migrated)) == 0  # single device: nothing to cross
+
+    # Same population, same uids.
+    assert a8.keys() == a1.keys()
+    assert len(a8) > 20
+
+    # BITWISE trajectory equality, keyed by uid.
+    for k in a8:
+        assert a8[k] == a1[k], (k, a8[k], a1[k])
+
+    # Per-step lifecycle counters identical.
+    for name in ("n_alive", "n_spawned", "n_destroyed",
+                 "n_waypoint_reached", "spawn_dropped"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c8, name)), np.asarray(getattr(c1, name)),
+            err_msg=name,
+        )
+
+
+def test_world_sharded_matches_general_rollout():
+    """The world engine's physics agrees with the general single-device
+    rollout (same scene) — tolerance-level (force sums are ordered
+    differently: canonical (tile, uid) vs slot order)."""
+    a1, c1, _ = run_world(1, n_steps=25)
+
+    cfg, hl, lp, params, state = make_scene()
+    rollout = jax.jit(build_rollout(cfg, [hl], [lp]), static_argnums=(3,))
+    st, counters = rollout(params, state, 1.0, 25)
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    ref = {int(uid[i]): (pos[i, 0], pos[i, 1])
+           for i in np.flatnonzero(alive)}
+
+    assert ref.keys() == a1.keys()
+    for k in ref:
+        np.testing.assert_allclose(ref[k], a1[k][:2], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(counters.n_alive), np.asarray(c1.n_alive)
+    )
