@@ -67,6 +67,9 @@ class PersistentCarry:
     sim_time: jax.Array     # []
     n_rebins: jax.Array     # [] int32
     max_occ: jax.Array      # [] int32 — worst tile occupancy seen
+    dropped: jax.Array      # [] int32 — agents lost to bucket/pack
+    #                         overflow across all rebins (silent physics
+    #                         truncation; callers must surface nonzero)
 
 
 def _rebin_from_slots(cfg: BucketConfig, packed, agent_slot,
@@ -120,7 +123,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     use_pack = config.use_pack_kernel
 
     def init_carry(state: SimState) -> PersistentCarry:
-        packed, bucket_pos, occ, _dropped = bucketize(
+        packed, bucket_pos, occ, dropped = bucketize(
             bucket_cfg, state.position, state.velocity,
             state.preferred_vel, state.preferred_vel, state.priority,
             state.eyesight, jnp.zeros_like(state.velocity), state.alive,
@@ -134,6 +137,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             sim_time=state.sim_time,
             n_rebins=jnp.zeros((), jnp.int32),
             max_occ=occ,
+            dropped=dropped,
         )
 
     def rollout(params_hl, params_z, state0: SimState, dt, n_steps: int):
@@ -180,17 +184,18 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
 
             def do_rebin(args):
                 p, a_slot = args
-                np_, ns_, occ, _drop = _rebin_from_slots(
+                np_, ns_, occ, drop = _rebin_from_slots(
                     bucket_cfg, p, a_slot, use_pack, interp
                 )
-                return np_, np_[:, ROW_PX:ROW_PX + 2], ns_, occ, jnp.int32(1)
+                return (np_, np_[:, ROW_PX:ROW_PX + 2], ns_, occ, drop,
+                        jnp.int32(1))
 
             def no_rebin(args):
                 p, a_slot = args
                 return (p, c.anchor, a_slot, jnp.zeros((), jnp.int32),
-                        jnp.int32(0))
+                        jnp.zeros((), jnp.int32), jnp.int32(0))
 
-            packed, anchor, agent_slot, occ, did = jax.lax.cond(
+            packed, anchor, agent_slot, occ, drop, did = jax.lax.cond(
                 need, do_rebin, no_rebin, (packed, c.agent_slot)
             )
             c = PersistentCarry(
@@ -200,6 +205,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
                 sim_time=c.sim_time + dt.astype(c.sim_time.dtype),
                 n_rebins=c.n_rebins + did,
                 max_occ=jnp.maximum(c.max_occ, occ),
+                dropped=c.dropped + drop,
             )
             return c, None
 
@@ -215,7 +221,8 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
                         0.0).astype(f)
         state = state0.replace(position=pos, velocity=vel,
                                sim_time=carry.sim_time)
-        info = {"n_rebins": carry.n_rebins, "max_occupancy": carry.max_occ}
+        info = {"n_rebins": carry.n_rebins, "max_occupancy": carry.max_occ,
+                "dropped": carry.dropped}
         return state, info
 
     return rollout

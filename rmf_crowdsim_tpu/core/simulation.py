@@ -87,6 +87,7 @@ class Simulation:
         self._params: Optional[SimParams] = None
         self._step_fn = None
         self._rollout_fn = None
+        self._event_rollout_fn = None
         self._dirty = True
         # Monotonic version bumped whenever a planner registry grows; the
         # compiled-step reuse key (object ids would alias after GC).
@@ -309,26 +310,45 @@ class Simulation:
                 )
 
     def run(self, n_steps: int, dt: float):
-        """Run ``n_steps`` steps in ONE device dispatch (lax.scan) — the
-        fast path when per-step EventListener callbacks are not needed
-        (listeners are not fired; per-step counters are returned instead).
-        Equivalent to calling :meth:`step` ``n_steps`` times."""
+        """Run ``n_steps`` steps in ONE device dispatch (lax.scan) —
+        equivalent to calling :meth:`step` ``n_steps`` times.
+
+        With EventListeners registered, the scan additionally records a
+        compacted per-step event stream (exact uids and positions, up to
+        ``config.event_stream_capacity`` per kind per step) which is
+        replayed through the listeners on the host afterwards — the fast
+        path honors the reference's exact callback contract
+        (lib.rs:151-153, 189-191).  Returns the per-step
+        :class:`RolloutCounters` either way."""
         if self._dirty or self._step_fn is None:
             self._rebuild()
-        if self._rollout_fn is None or getattr(
-            self, "_rollout_key", None
+        want_events = len(self._event_listeners) > 0
+        cache = "_event_rollout_fn" if want_events else "_rollout_fn"
+        key_attr = "_event_rollout_key" if want_events else "_rollout_key"
+        if getattr(self, cache, None) is None or getattr(
+            self, key_attr, None
         ) != self._step_key:
             from .step import build_rollout
 
-            self._rollout_fn = jax.jit(
-                build_rollout(self.config, self._hl_planners,
-                              self._lp_planners),
+            setattr(self, cache, jax.jit(
+                build_rollout(
+                    self.config, self._hl_planners, self._lp_planners,
+                    event_capacity=(
+                        self.config.event_stream_capacity
+                        if want_events else 0
+                    ),
+                ),
                 static_argnums=(3,), donate_argnums=(1,),
-            )
-            self._rollout_key = self._step_key
-        self.state, counters = self._rollout_fn(
+            ))
+            setattr(self, key_attr, self._step_key)
+        self.state, ys = getattr(self, cache)(
             self._params, self.state, dt, int(n_steps)
         )
+        if want_events:
+            self._replay_event_stream(ys)
+            counters = ys.counters
+        else:
+            counters = ys
         if self.config.on_truncation == "raise":
             total = int(jnp.sum(counters.neighbor_truncated))
             if total > 0:
@@ -339,6 +359,45 @@ class Simulation:
                     f"{self.config.neighbor_capacity_limit} per cell/tile)"
                 )
         return counters
+
+    def _replay_event_stream(self, stream) -> None:
+        """Replay a scanned rollout's :class:`EventStream` through the
+        registered listeners, in step order, with the reference's
+        within-step ordering (spawns, waypoint hits, destroys)."""
+        data = jax.device_get(
+            (
+                stream.spawned_uid,
+                stream.spawned_pos,
+                stream.reached_uid,
+                stream.reached_pos,
+                stream.destroyed_uid,
+                stream.overflow,
+            )
+        )
+        s_uid, s_pos, r_uid, r_pos, d_uid, overflow = data
+        total_over = int(np.sum(overflow))
+        if total_over > 0:
+            raise RuntimeError(
+                f"{total_over} events exceeded "
+                f"event_stream_capacity={self.config.event_stream_capacity} "
+                f"during run(); listener delivery would be incomplete — "
+                f"raise the capacity or step() instead"
+            )
+        listeners = list(self._event_listeners.values())
+        for t in range(s_uid.shape[0]):
+            for j in np.flatnonzero(s_uid[t] >= 0):
+                for listener in listeners:
+                    listener.agent_spawned(
+                        tuple(s_pos[t, j]), int(s_uid[t, j])
+                    )
+            for j in np.flatnonzero(r_uid[t] >= 0):
+                for listener in listeners:
+                    listener.waypoint_reached(
+                        tuple(r_pos[t, j]), int(r_uid[t, j])
+                    )
+            for j in np.flatnonzero(d_uid[t] >= 0):
+                for listener in listeners:
+                    listener.agent_destroyed(int(d_uid[t, j]))
 
     def _dispatch_events(self, events) -> None:
         spawned, destroyed, reached, spawn_pos, destroyed_uid, wp_pos, uid = (

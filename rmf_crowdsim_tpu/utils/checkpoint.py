@@ -70,4 +70,7 @@ def load_state_orbax(path: str) -> SimState:
 
     ckptr = ocp.StandardCheckpointer()
     data = ckptr.restore(path)
-    return SimState(**{name: jnp.asarray(data[name]) for name in _FIELDS})
+    return SimState(
+        **{name: _asarray_exact(name, np.asarray(data[name]))
+           for name in _FIELDS}
+    )

