@@ -62,6 +62,11 @@ def build_bench(n_agents: int, dtype: str = "float32",
         strip_tiles=96,
         bucket_tile_size=5.3,
         use_pack_kernel=(backend == "grid_pallas"),
+        # Poisson occupancy tails at this density overflow bucket 32 in
+        # ~60 of 57k tiles at 1M agents; the spill patch repairs them
+        # EXACTLY (ops/zanlungo_pallas.spill_patch) so the truncation
+        # assertion below holds honestly.
+        spill_capacity=256,
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))
@@ -127,9 +132,15 @@ def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3,
     return n_steps / best, (best / n_steps) * 1e3
 
 
-def time_rmf_routing(n_agents: int = 10_000, n_steps: int = 20):
+def time_rmf_routing(n_agents: int = 10_000, n_steps: int = 20,
+                     backend: str = "grid_pallas"):
     """BASELINE.md config 4: RMF building YAML + Zanlungo, multi-room
-    routing at ~10k agents.  Returns steps/sec."""
+    routing at ~10k agents.  Returns steps/sec.
+
+    Default backend is the fused kernel (the XLA grid backend's [N, K]
+    candidate gathers are row-overhead-bound at this scale); doorway
+    hotspots that overflow the 32-slot buckets are repaired exactly by
+    the spill patch."""
     from rmf_crowdsim_tpu import (
         GridConfig,
         SimConfig,
@@ -159,9 +170,16 @@ def time_rmf_routing(n_agents: int = 10_000, n_steps: int = 20):
         capacity=n_agents,
         grid=GridConfig(width=208.0, height=108.0, cell_size=2.0,
                         offset=(-4.0, -4.0)),
-        neighbor_backend="grid",
+        neighbor_backend=backend,
         max_per_cell=32,
         max_eyesight=2.0,
+        bucket_capacity=32,
+        sub_tiles=2,
+        strip_tiles=96,
+        bucket_tile_size=5.3,
+        use_pack_kernel=(backend == "grid_pallas"),
+        spill_capacity=256,
+        on_truncation="ignore",  # audited via the returned counters
         dtype="float32",
     )
     state = make_state(cfg)
@@ -255,7 +273,14 @@ def main():
         try:
             extra["steps_per_sec_rmf10k"] = round(time_rmf_routing(), 1)
         except Exception as e:
-            extra["steps_per_sec_rmf10k"] = f"failed: {e!r}"
+            print(f"rmf10k (grid_pallas) failed: {e!r}", file=sys.stderr)
+            try:
+                extra["steps_per_sec_rmf10k"] = round(
+                    time_rmf_routing(backend="grid"), 1
+                )
+                extra["rmf10k_backend"] = "grid"
+            except Exception as e2:
+                extra["steps_per_sec_rmf10k"] = f"failed: {e2!r}"
         for n in (1_000, 100_000):
             if n >= headline_n:
                 continue

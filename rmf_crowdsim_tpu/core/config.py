@@ -111,14 +111,12 @@ class SimConfig:
     # building the bucketed layout (ops/pack_pallas.py).
     use_pack_kernel: bool = False
     # Exact repair of bucket overflow (ops/zanlungo_pallas.spill_patch):
-    # agents beyond a tile's bucket_capacity, and every query within
-    # eyesight of one, are recomputed exactly on the XLA side.
-    # spill_capacity bounds overflow agents per step; affected_capacity
-    # bounds the recomputed queries.  0 disables the patch (overflow then
-    # truncates, loudly).  Sized for occupancy tails and doorway
-    # hotspots; overruns surface through neighbor_truncated.
+    # per overflow agent ("spill"), its whole 3x3 tile neighborhood is
+    # recomputed exactly on the XLA side against its 5x5 packed window +
+    # the spill list.  spill_capacity bounds spills per step; 0 disables
+    # the patch (overflow then truncates, loudly).  Overruns surface
+    # through neighbor_truncated.
     spill_capacity: int = 128
-    affected_capacity: int = 8192
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation

@@ -255,7 +255,6 @@ def build_step(
                         world_mesh=world_mesh,
                         use_pack_kernel=config.use_pack_kernel,
                         spill_capacity=config.spill_capacity,
-                        affected_capacity=config.affected_capacity,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped

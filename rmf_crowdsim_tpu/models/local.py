@@ -174,8 +174,6 @@ def zanlungo_velocity(
     mid-loop spatial-index updates make dense Zanlungo scenes
     iteration-order-dependent (SURVEY.md §3.1 quirk 1).
     """
-    dtype = position.dtype
-    inf = jnp.asarray(jnp.inf, dtype)
     if q_position is None:
         q_position, q_velocity, q_priority = position, velocity, priority
 
@@ -184,11 +182,36 @@ def zanlungo_velocity(
     ovel = velocity[nbr_idx]
     opref = pref_committed[nbr_idx]
     oprio = priority[nbr_idx]
+    return zanlungo_from_rows(
+        p, q_position, q_velocity, self_pref, q_priority,
+        opos, ovel, opref, oprio, nbr_valid, rec_vel,
+    )
 
-    mypos = q_position[:, None, :]
-    myvel = q_velocity[:, None, :]
-    mypref = self_pref[:, None, :]
-    myprio = q_priority[:, None]
+
+def zanlungo_from_rows(
+    p: ZanlungoParams,
+    q_position,   # [..., 2] query fields
+    q_velocity,   # [..., 2]
+    self_pref,    # [..., 2] query's fresh preferred velocity
+    q_priority,   # [...]
+    opos,         # [..., K, 2] pre-gathered candidate fields
+    ovel,         # [..., K, 2]
+    opref,        # [..., K, 2] candidates' COMMITTED preferred velocity
+    oprio,        # [..., K]
+    nbr_valid,    # [..., K] bool
+    rec_vel,      # [..., 2]
+):
+    """The Zanlungo math of :func:`zanlungo_velocity` on pre-gathered
+    candidate rows (arbitrary leading batch dims) — shared by the
+    index-gathering path above and gather-free callers (the bucket
+    spill patch, ops/zanlungo_pallas.spill_patch)."""
+    dtype = q_position.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    mypos = q_position[..., None, :]
+    myvel = q_velocity[..., None, :]
+    mypref = self_pref[..., None, :]
+    myprio = q_priority[..., None]
 
     # ---- compute_tti: min time-to-collision over neighbors
     # (zanlungo.rs:76-91)
@@ -196,7 +219,7 @@ def zanlungo_velocity(
     rel_pos = opos - mypos
     ttc = time_to_collision(rel_vel, rel_pos, p.agent_radius.astype(dtype))
     ttc = jnp.where(nbr_valid, ttc, inf)
-    t_i = jnp.min(ttc, axis=1)  # [N]
+    t_i = jnp.min(ttc, axis=-1)  # [...]
 
     # ---- right_of_way_vel (zanlungo.rs:173-198)
     row = jnp.clip(myprio - oprio, -1.0, 1.0)  # [N, K]
@@ -212,7 +235,7 @@ def zanlungo_velocity(
 
     # ---- compute_agent_force (zanlungo.rs:93-170)
     weight = 1.0 - w  # [N, K], in [0, 2]
-    t = t_i[:, None, None]
+    t = t_i[..., None, None]
     fut = mypos + my_vel * t
     ofut = opos + other_vel * t
     d_ij = fut - ofut  # [N, K, 2]
@@ -252,11 +275,11 @@ def zanlungo_velocity(
 
     surface_dist = dist - 2.0 * p.agent_radius.astype(dtype)
     speed_diff = _norm(my_vel - other_vel)
-    safe_t = jnp.where(t_i > 0, t_i, 1.0)[:, None]
+    safe_t = jnp.where(t_i > 0, t_i, 1.0)[..., None]
     magnitude = weight * p.agent_scale.astype(dtype) * speed_diff / safe_t
     # t_i == 0 (agents currently overlapping): reference divides by zero ->
     # +inf, then clamps to 1e15 (zanlungo.rs:165-167; configurable here).
-    magnitude = jnp.where((t_i == 0)[:, None] & (speed_diff * weight > 0), inf, magnitude)
+    magnitude = jnp.where((t_i == 0)[..., None] & (speed_diff * weight > 0), inf, magnitude)
     magnitude = jnp.minimum(magnitude, p.force_cap.astype(dtype))
 
     falloff = jnp.exp(-surface_dist / p.force_distance.astype(dtype))
@@ -265,8 +288,8 @@ def zanlungo_velocity(
     # Forces only accumulate when a finite TTC exists (zanlungo.rs:211) and
     # only over valid neighbors.
     force = jnp.where(nbr_valid[..., None], force, 0.0)
-    total = jnp.sum(force, axis=1)  # [N, 2]
-    total = jnp.where(jnp.isfinite(t_i)[:, None], total, 0.0)
+    total = jnp.sum(force, axis=-2)  # [..., 2]
+    total = jnp.where(jnp.isfinite(t_i)[..., None], total, 0.0)
 
     return rec_vel + total / p.agent_mass.astype(dtype)
 
@@ -369,8 +392,7 @@ class Zanlungo(LocalPlanner):
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
-                   use_pack_kernel: bool = False, spill_capacity: int = 0,
-                   affected_capacity: int = 0):
+                   use_pack_kernel: bool = False, spill_capacity: int = 0):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -395,5 +417,4 @@ class Zanlungo(LocalPlanner):
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
             spill_capacity=spill_capacity,
-            affected_capacity=affected_capacity,
         )

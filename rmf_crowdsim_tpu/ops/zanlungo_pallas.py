@@ -64,6 +64,7 @@ ROW_EYE = 7                 # eyesight radius (query side)
 ROW_RX, ROW_RY = 8, 9       # recommended velocity (query side)
 ROW_ID = 10                 # slot id (exact in f32; -1 = empty)
 ROW_SPX, ROW_SPY = 11, 12   # own fresh preferred velocity (query side)
+ROW_ONE = 15                # constant 1.0 on real rows (fill counter)
 # Padded to 16 rows: Mosaic requires DMA slice extents in the sublane
 # dimension to align to the (8, 128) f32 tile.
 NUM_F = 16
@@ -438,7 +439,8 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
             jnp.where(mask, uy * scale, 0.0))
 
 
-def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
+def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
+                 compact_pass2: bool = True):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
@@ -502,6 +504,12 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
                 win_dma(0, k, 0).start()
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        if compact_pass2:
+            # Strict-lower-triangular 0/1 matrix for the exclusive prefix
+            # count (built once per program, reused across sub-blocks).
+            ci = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 1)
+            tri = (ci < rj).astype(jnp.float32)
 
         def sub_block(s, _):
             if double_buffer:
@@ -581,31 +589,110 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True):
                 ttc = jnp.where(mask, ttc, inf)
                 t_i = jnp.minimum(t_i, jnp.min(ttc, axis=1, keepdims=True))
 
-            # ---- pass 2: force accumulation (zanlungo.rs:201-218)
-            fx = jnp.zeros((sub_q, 1), jnp.float32)
-            fy = jnp.zeros((sub_q, 1), jnp.float32)
-            for k in range(3):
-                cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
-                cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
-                cfx_, cfy_ = crow(k, ROW_FX), crow(k, ROW_FY)
-                cprio_ = crow(k, ROW_PRIO)
+            def write_out(fx, fy):
+                # Forces apply only when some neighbor has finite TTC
+                # (zanlungo.rs:211); output = rec + force / mass.
+                has = jnp.isfinite(t_i)
+                inv_mass = 1.0 / zp[2]
+                rx = qrow(ROW_RX)
+                ry = qrow(ROW_RY)
+                out_x = rx + jnp.where(has, fx * inv_mass, 0.0)
+                out_y = ry + jnp.where(has, fy * inv_mass, 0.0)
+                out_ref[pl.ds(q0, sub_q), 0:1] = out_x
+                out_ref[pl.ds(q0, sub_q), 1:2] = out_y
+
+            def full_pass2():
+                # ---- pass 2: force accumulation (zanlungo.rs:201-218)
+                fx = jnp.zeros((sub_q, 1), jnp.float32)
+                fy = jnp.zeros((sub_q, 1), jnp.float32)
+                for k in range(3):
+                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                    cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
+                    cfx_, cfy_ = crow(k, ROW_FX), crow(k, ROW_FY)
+                    cprio_ = crow(k, ROW_PRIO)
+                    pfx, pfy = _pair_force(
+                        zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_,
+                        qprio_, cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_,
+                        masks[k],
+                    )
+                    fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
+                    fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
+                write_out(fx, fy)
+
+            if not compact_pass2:
+                full_pass2()
+                return 0
+
+            # ---- pass 2, COMPACTED: the ~8 true neighbors per query are
+            # a sliver of the 3*C candidate lanes.  Gather the union of
+            # every query's masked candidates into <= C lanes with an
+            # exact one-hot MXU matmul (0/1 weights, Precision.HIGHEST —
+            # bitwise, as ops/pack_pallas.py), then run the expensive
+            # force math once over [sub_q, C] instead of 3x.  Union
+            # overflow (> C candidates, dense hotspots) falls back to the
+            # full-width pass for this sub-block — exactness either way.
+            u = jnp.concatenate(
+                [jnp.any(m, axis=0, keepdims=True) for m in masks], axis=1
+            ).astype(jnp.float32)                       # [1, 3C]
+            # Exclusive prefix count via triangular matmul (exact integer
+            # counts in f32): rank[r] = #union lanes before r.
+            rank = jax.lax.dot_general(
+                u, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [1, 3C]
+            count = jnp.sum(u)
+
+            @pl.when(count <= jnp.float32(C))
+            def _():
+                r_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (C, 1), 0
+                ).astype(jnp.float32)
+                p_t = jnp.where(
+                    (rank == r_iota) & (u > 0), 1.0, 0.0
+                )                                        # [C, 3C]
+                w_all = jnp.concatenate(
+                    [rolled[k][:, :C] for k in range(3)], axis=1
+                )                                        # [NUM_F, 3C]
+                comp = jax.lax.dot_general(
+                    w_all, p_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                        # [NUM_F, C]
+                # Unfilled lanes summed nothing (all-zero feature rows,
+                # position (0,0) — a real place): blend in the sentinel
+                # row so the mask below kills them.
+                ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_F, 1), 0)
+                sent = jnp.where(
+                    (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
+                    jnp.where(ri == ROW_ID, -1.0, 0.0),
+                )
+                filled = comp[ROW_ONE:ROW_ONE + 1, :]  # 1.0 on real rows
+                comp = comp + (1.0 - filled) * sent
+
+                def ccrow(r):
+                    return comp[r:r + 1, :]
+
+                cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
+                cid_ = ccrow(ROW_ID)
+                d2 = (cpx_ - qpx_) ** 2 + (cpy_ - qpy_) ** 2
+                mask2 = (
+                    (d2 < qeye_ * qeye_) & (cid_ != qid_) & (cid_ >= 0)
+                )
                 pfx, pfy = _pair_force(
                     zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
-                    cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_, masks[k],
+                    cpx_, cpy_, ccrow(ROW_VX), ccrow(ROW_VY),
+                    ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
                 )
-                fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
-                fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
+                write_out(
+                    jnp.sum(pfx, axis=1, keepdims=True),
+                    jnp.sum(pfy, axis=1, keepdims=True),
+                )
 
-            # Forces apply only when some neighbor has finite TTC
-            # (zanlungo.rs:211); output = rec + force / mass.
-            has = jnp.isfinite(t_i)
-            inv_mass = 1.0 / zp[2]
-            rx = qrow(ROW_RX)
-            ry = qrow(ROW_RY)
-            out_x = rx + jnp.where(has, fx * inv_mass, 0.0)
-            out_y = ry + jnp.where(has, fy * inv_mass, 0.0)
-            out_ref[pl.ds(q0, sub_q), 0:1] = out_x
-            out_ref[pl.ds(q0, sub_q), 1:2] = out_y
+            @pl.when(count > jnp.float32(C))
+            def _():
+                full_pass2()
+
             return 0
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
@@ -659,38 +746,48 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 pref_committed, priority, eyesight, alive, rec_vel,
                 packed_t, bucket_pos, vel,
-                spill_capacity: int, affected_capacity: int):
+                spill_capacity: int, chunk: int = 8):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
     Agents beyond a tile's ``cfg.bucket`` slots ("spills") are missing
     from the packed plane: they got no force output, AND every query
     within eyesight of one computed a wrong min-TTC (t_i enters every
-    pair force, zanlungo.rs:109-112) so its whole force sum is off.  This
-    pass recomputes all potentially-affected queries exactly in agent
-    space:
+    pair force, zanlungo.rs:109-112) so its whole force sum is off.
+    Repair is grouped PER SPILL — row-gather-free, since XLA row gathers
+    cost ~35 ns/row and a per-query formulation measured 430 ms at 1M:
 
-    - spills  = alive agents with no bucket slot (<= ``spill_capacity``);
-    - affected = alive agents in any tile of a spill's 3x3 neighborhood
-      (eyesight <= tile_size bounds the blast radius; includes the
-      spills themselves) (<= ``affected_capacity``);
-    - each affected query's candidates = the packed rows of its own 3x3
-      window (its kernel candidates) + every spill — a superset of its
-      true in-eyesight neighbor set, masked exactly like the kernel
-      (strict dist < eyesight, self excluded);
-    - the jnp oracle (models/local.py zanlungo_velocity) evaluates those
-      queries; their rows of ``vel`` are overwritten.
+    - per spill, its 5x5 tile window is read as 5 CONTIGUOUS column
+      slices of the packed array (the column-major slot layout makes a
+      5-tile vertical run one dynamic_slice — cheap, unlike gathers);
+    - the queries recomputed are the window's inner 3x3 rows + the spill
+      itself: everything possibly within eyesight of it (eyesight <=
+      tile_size).  Re-evaluating an UNaffected query is harmless — its
+      exact recompute equals what the kernel produced (idempotent), so
+      overlapping spill neighborhoods need no dedup;
+    - each query's candidates = the spill's 5x5 window (a superset of
+      the query's own 3x3) + the whole spill list, masked exactly like
+      the kernel (strict dist < eyesight, self by agent id);
+    - models/local.zanlungo_from_rows evaluates the groups in
+      ``chunk``-sized lax.map batches; results overwrite ``vel`` rows.
 
-    Returns (vel, unresolved) — ``unresolved`` counts agents the static
-    caps could not cover (plus nothing else; callers add pack-kernel
-    overflow separately).  f32 summation order differs from the kernel
-    on the overwritten rows (tolerance-level).
+    Returns (vel, unresolved) — spills beyond ``spill_capacity``.  f32
+    summation order differs from the kernel on overwritten rows
+    (tolerance-level).
     """
-    from ..models.local import zanlungo_velocity
+    from ..models.local import zanlungo_from_rows
 
     n = position.shape[0]
-    s_cap, a_cap = int(spill_capacity), int(affected_capacity)
+    s_cap = int(spill_capacity)
+    chunk = min(int(chunk), s_cap)
+    assert s_cap % chunk == 0, "spill_capacity must divide by chunk"
     b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    assert tx >= 5 and ty >= 5, (
+        "spill_patch needs a >= 5x5-tile world (set spill_capacity=0 "
+        "for smaller worlds)"
+    )
+    run = 5 * b  # rows per column slice (5 tiles)
+    f32 = jnp.float32
     inv_tile = 1.0 / cfg.tile_size
     tcx = jnp.clip(jnp.floor(
         (position[:, 0] - cfg.offset[0]) * inv_tile).astype(jnp.int32),
@@ -698,7 +795,6 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     tcy = jnp.clip(jnp.floor(
         (position[:, 1] - cfg.offset[1]) * inv_tile).astype(jnp.int32),
         0, ty - 1)
-    tid = tcx * jnp.int32(ty) + tcy
 
     is_spill = alive & (bucket_pos >= cfg.slots)
     n_spill = jnp.sum(is_spill.astype(jnp.int32))
@@ -712,91 +808,138 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     )
     spill_valid = spill_idx < n
     spill_over = n_spill - jnp.sum(keep.astype(jnp.int32))
+    sc = jnp.clip(spill_idx, 0, n - 1)
+    sp_tcx = jnp.where(spill_valid, tcx[sc], 1)
+    sp_tcy = jnp.where(spill_valid, tcy[sc], 1)
 
-    # Mark the 3x3 tile neighborhoods of all spill tiles.
-    sp_tcx = jnp.where(spill_valid, tcx[jnp.clip(spill_idx, 0, n - 1)], 0)
-    sp_tcy = jnp.where(spill_valid, tcy[jnp.clip(spill_idx, 0, n - 1)], 0)
-    marked = jnp.zeros((cfg.n_tiles,), jnp.bool_)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            nx = sp_tcx + dx
-            ny = sp_tcy + dy
-            ok = (spill_valid & (nx >= 0) & (nx < tx)
-                  & (ny >= 0) & (ny < ty))
-            t9 = jnp.where(ok, nx * ty + ny, cfg.n_tiles)
-            marked = marked.at[t9].set(True, mode="drop")
+    # Spill feature rows (queries AND candidates), f32 like the plane.
+    sp_pos = position[sc].astype(f32)
+    sp_vel = velocity[sc].astype(f32)
+    sp_prefc = pref_committed[sc].astype(f32)
+    sp_spref = self_pref[sc].astype(f32)
+    sp_prio = priority[sc].astype(f32)
+    sp_eye = eyesight[sc].astype(f32)
+    sp_rec = rec_vel[sc].astype(f32)
+    sp_id = jnp.where(spill_valid, spill_idx, -1).astype(f32)
 
-    affected = alive & marked[tid]
-    n_aff = jnp.sum(affected.astype(jnp.int32))
-    a_rank = jnp.cumsum(affected.astype(jnp.int32)) - 1
-    a_keep = affected & (a_rank < a_cap)
-    a_tgt = jnp.where(a_keep, a_rank, jnp.int32(a_cap))
-    q_idx = jnp.full((a_cap,), n, jnp.int32).at[a_tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    q_valid = q_idx < n
-    aff_over = n_aff - jnp.sum(a_keep.astype(jnp.int32))
-    qc = jnp.clip(q_idx, 0, n - 1)
+    # 5 contiguous column slices per spill: a 5x5 tile window CLAMPED
+    # into the world (not into the array — slot clipping would shift the
+    # tile<->row mapping at world edges and mis-place the query block).
+    # Requires tx, ty >= 5 (asserted by the caller); the clamped window
+    # always contains the spill's full in-world 3x3.
+    bx = jnp.clip(sp_tcx - 2, 0, tx - 5)                     # [S]
+    by = jnp.clip(sp_tcy - 2, 0, ty - 5)
+    dxs = jnp.arange(5, dtype=jnp.int32)
+    colx = bx[:, None] + dxs[None, :]                        # [S, 5]
+    base = (colx * ty + by[:, None]) * b                     # in-bounds
 
-    # Candidate table per query: its own 3x3 packed window + all spills.
-    q_tcx = tcx[qc]
-    q_tcy = tcy[qc]
-    wins = []
-    wvalid = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            nx = q_tcx + dx
-            ny = q_tcy + dy
-            ok = (nx >= 0) & (nx < tx) & (ny >= 0) & (ny < ty) & q_valid
-            t9 = jnp.where(ok, nx * ty + ny, 0)
-            base = t9[:, None] * b + jnp.arange(b, dtype=jnp.int32)[None, :]
-            wins.append(base)          # [A, b] packed slot ids
-            wvalid.append(ok[:, None] & jnp.ones((1, b), bool))
-    win_slots = jnp.concatenate(wins, axis=1)       # [A, 9b]
-    win_ok = jnp.concatenate(wvalid, axis=1)        # [A, 9b]
-    # Packed row -> original agent index (ROW_ID; -1 for empty slots).
-    cand_agent = packed_t[win_slots, ROW_ID].astype(jnp.int32)  # [A, 9b]
-    cand_ok = win_ok & (cand_agent >= 0)
-    # Append the spill list (spills are in no packed window).
-    cand_agent = jnp.concatenate(
-        [jnp.where(cand_ok, cand_agent, 0),
-         jnp.broadcast_to(jnp.where(spill_valid, spill_idx, 0),
-                          (a_cap, s_cap))],
-        axis=1,
-    )  # [A, 9b + s_cap]
-    cand_ok = jnp.concatenate(
-        [cand_ok, jnp.broadcast_to(spill_valid, (a_cap, s_cap))], axis=1
-    )
+    def col_slice(b0):
+        return jax.lax.dynamic_slice(
+            packed_t, (b0, jnp.zeros((), b0.dtype)), (run, NUM_F)
+        )
 
-    # Exact kernel mask: strict dist < eyesight(q), self excluded.
-    cpos = position[cand_agent]                      # [A, C, 2]
-    qpos = position[qc]
-    d2 = jnp.sum((cpos - qpos[:, None, :]) ** 2, axis=-1)
-    eye = eyesight[qc]
-    nbr_valid = (
-        cand_ok
-        & alive[cand_agent]
-        & (d2 < (eye * eye)[:, None])
-        & (cand_agent != qc[:, None])
-        & q_valid[:, None]
-    )
+    win = jax.vmap(jax.vmap(col_slice))(base)                # [S, 5, run, F]
+    row_ok = (
+        (win[..., ROW_ID] >= 0) & spill_valid[:, None, None]
+    )                                                        # [S, 5, run]
 
-    patched = zanlungo_velocity(
-        zp, position, velocity, self_pref[qc], pref_committed, priority,
-        cand_agent, nbr_valid, rec_vel[qc],
-        q_position=position[qc], q_velocity=velocity[qc],
-        q_priority=priority[qc],
+    # Queries: the (clamped) 3x3 tile block around the spill + the
+    # spill's own row.  The block's position inside the window is
+    # spill-dependent at world edges, so extract it dynamically.
+    qx = jnp.clip(sp_tcx - 1, 0, tx - 3) - bx                # [S] in [0, 2]
+    qy = jnp.clip(sp_tcy - 1, 0, ty - 3) - by
+
+    def q_slice(w, px, py):
+        return jax.lax.dynamic_slice(
+            w, (px, py * b, jnp.zeros((), px.dtype)), (3, 3 * b, NUM_F)
+        )
+
+    qwin = jax.vmap(q_slice)(win, qx, qy).reshape(s_cap, 9 * b, NUM_F)
+
+    def qok_slice(r, px, py):
+        return jax.lax.dynamic_slice(r, (px, py * b), (3, 3 * b))
+
+    q_ok = jax.vmap(qok_slice)(row_ok, qx, qy).reshape(s_cap, 9 * b)
+    nq = 9 * b + 1
+
+    q_pos = jnp.concatenate([qwin[..., ROW_PX:ROW_PX + 2],
+                             sp_pos[:, None, :]], axis=1)
+    q_vel = jnp.concatenate([qwin[..., ROW_VX:ROW_VX + 2],
+                             sp_vel[:, None, :]], axis=1)
+    q_spref = jnp.concatenate([qwin[..., ROW_SPX:ROW_SPX + 2],
+                               sp_spref[:, None, :]], axis=1)
+    q_rec = jnp.concatenate([qwin[..., ROW_RX:ROW_RX + 2],
+                             sp_rec[:, None, :]], axis=1)
+    q_prio = jnp.concatenate([qwin[..., ROW_PRIO],
+                              sp_prio[:, None]], axis=1)
+    q_eye = jnp.concatenate([qwin[..., ROW_EYE], sp_eye[:, None]], axis=1)
+    q_id = jnp.concatenate([jnp.where(q_ok, qwin[..., ROW_ID], -1.0),
+                            sp_id[:, None]], axis=1)         # [S, nq]
+
+    # Candidates: the full 5x5 window + the whole spill list.
+    cw = win.reshape(s_cap, 5 * run, NUM_F)
+    c_ok = row_ok.reshape(s_cap, 5 * run)
+    nc = 5 * run + s_cap
+    c_pos = jnp.concatenate(
+        [cw[..., ROW_PX:ROW_PX + 2],
+         jnp.broadcast_to(sp_pos[None], (s_cap, s_cap, 2))], axis=1)
+    c_vel = jnp.concatenate(
+        [cw[..., ROW_VX:ROW_VX + 2],
+         jnp.broadcast_to(sp_vel[None], (s_cap, s_cap, 2))], axis=1)
+    c_prefc = jnp.concatenate(
+        [cw[..., ROW_FX:ROW_FX + 2],
+         jnp.broadcast_to(sp_prefc[None], (s_cap, s_cap, 2))], axis=1)
+    c_prio = jnp.concatenate(
+        [cw[..., ROW_PRIO],
+         jnp.broadcast_to(sp_prio[None], (s_cap, s_cap))], axis=1)
+    c_id = jnp.concatenate(
+        [jnp.where(c_ok, cw[..., ROW_ID], -1.0),
+         jnp.broadcast_to(sp_id[None], (s_cap, s_cap))], axis=1)  # [S, nc]
+
+    def group(args):
+        (qp, qv, qsp, qrec, qprio, qeye, qid,
+         cp, cv, cpf, cprio, cid) = args
+        d2 = jnp.sum((cp[:, None, :, :] - qp[:, :, None, :]) ** 2, axis=-1)
+        valid = (
+            (cid[:, None, :] >= 0)
+            & (qid[:, :, None] >= 0)
+            & (d2 < (qeye * qeye)[:, :, None])
+            & (cid[:, None, :] != qid[:, :, None])
+        )
+        out = zanlungo_from_rows(
+            zp, qp, qv, qsp, qprio,
+            jnp.broadcast_to(cp[:, None], d2.shape + (2,)),
+            jnp.broadcast_to(cv[:, None], d2.shape + (2,)),
+            jnp.broadcast_to(cpf[:, None], d2.shape + (2,)),
+            jnp.broadcast_to(cprio[:, None], d2.shape),
+            valid, qrec,
+        )
+        return out
+
+    def resh(x):
+        return x.reshape((s_cap // chunk, chunk) + x.shape[1:])
+
+    out = jax.lax.map(group, (
+        resh(q_pos), resh(q_vel), resh(q_spref), resh(q_rec), resh(q_prio),
+        resh(q_eye), resh(q_id),
+        resh(c_pos), resh(c_vel), resh(c_prefc), resh(c_prio), resh(c_id),
+    ))                                                       # [S/c, c, nq, 2]
+    out = out.reshape(s_cap, nq, 2)
+
+    # Overwrite patched rows (overlapping groups recompute identical
+    # values — scatter order irrelevant).
+    q_agent = q_id.astype(jnp.int32)
+    scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
+    vel = vel.at[scatter_idx].set(
+        out.reshape(-1, 2).astype(vel.dtype), mode="drop"
     )
-    vel = vel.at[jnp.where(q_valid, q_idx, n)].set(
-        patched.astype(vel.dtype), mode="drop"
-    )
-    return vel, (spill_over + aff_over).astype(jnp.int32)
+    return vel, spill_over.astype(jnp.int32)
 
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
-                   spill_capacity: int = 0, affected_capacity: int = 0):
+                   spill_capacity: int = 0):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -834,7 +977,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         vel, unresolved = spill_patch(
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
-            spill_capacity, affected_capacity,
+            spill_capacity,
         )
         n_bucket_over = jnp.sum(
             (alive & (bucket_pos >= cfg.slots)).astype(jnp.int32)

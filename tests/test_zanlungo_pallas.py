@@ -240,7 +240,7 @@ def test_spill_patch_repairs_overflow_exactly():
 
     got, max_occ, dropped = zanlungo_fused(
         cfg, zp, *scene, interpret=True,
-        spill_capacity=64, affected_capacity=96)
+        spill_capacity=64)
     assert int(max_occ) > cfg.bucket, "scene must actually overflow"
     assert int(dropped) == 0, "patch should resolve all overflow"
     want = oracle(zp, scene)
@@ -270,6 +270,36 @@ def test_spill_patch_cap_overrun_is_counted():
              jnp.full((n,), 2.0, f32), jnp.ones((n,), bool), vel)
     _, max_occ, dropped = zanlungo_fused(
         cfg, zp, *scene, interpret=True,
-        spill_capacity=4, affected_capacity=8)
+        spill_capacity=4)
     assert int(max_occ) > cfg.bucket
     assert int(dropped) > 0
+
+
+def test_spill_patch_repairs_overflow_at_world_edge():
+    """Hotspot in the world's CORNER tile: the clamped 5x5 window and the
+    dynamically-positioned query block must still cover every affected
+    query (regression for slice-clipping tile misalignment)."""
+    n = 80
+    world = 24.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    rng = np.random.default_rng(3)
+    f32 = jnp.float32
+    pos = rng.uniform(0.0, world, (n, 2))
+    pos[:30] = rng.uniform(0.1, 2.4, (30, 2))  # corner tile (0, 0)
+    scene = (jnp.asarray(pos, f32),
+             jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32),
+             jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32),
+             jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32),
+             jnp.asarray(rng.permutation(n).astype(np.float32)),
+             jnp.asarray(rng.uniform(0.5, 3.0, (n,)), f32),
+             jnp.ones((n,), bool),
+             jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32))
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True, spill_capacity=64)
+    assert int(max_occ) > cfg.bucket
+    assert int(dropped) == 0
+    want = oracle(zp, scene)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
