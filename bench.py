@@ -66,7 +66,7 @@ def build_bench(n_agents: int, dtype: str = "float32",
         # ~60 of 57k tiles at 1M agents; the spill patch repairs them
         # EXACTLY (ops/zanlungo_pallas.spill_patch) so the truncation
         # assertion below holds honestly.
-        spill_capacity=256,
+        spill_capacity=128,
         dtype=dtype,
     )
     hl = ParityVelocity((1.0, 0.0))
@@ -217,8 +217,14 @@ def time_rmf_routing(n_agents: int = 10_000, n_steps: int = 20,
                        sources=None)
     rollout = jax.jit(build_rollout(cfg, [planner], [lp]),
                       static_argnums=(3,))
-    st, _ = rollout(params, state, 0.25, n_steps)
+    st, counters = rollout(params, state, 0.25, n_steps)
     assert float(st.sim_time) > 0
+    # Physics intact: doorway hotspots must stay within the spill patch's
+    # capacity (truncation = silently dropped interactions).
+    truncated = int(np.max(np.asarray(counters.neighbor_truncated)))
+    assert truncated == 0, (
+        f"rmf scene truncates {truncated} interactions/step"
+    )
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()

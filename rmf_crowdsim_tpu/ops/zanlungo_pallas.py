@@ -702,14 +702,16 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
-                             double_buffer: bool = True):
+                             double_buffer: bool = True,
+                             compact_pass2: bool = True):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
     agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
     [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
-    kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer)
+    kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer,
+                                      compact_pass2=compact_pass2)
     n_strips = cfg.ty // cfg.strip_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -746,7 +748,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 pref_committed, priority, eyesight, alive, rec_vel,
                 packed_t, bucket_pos, vel,
-                spill_capacity: int, chunk: int = 8):
+                spill_capacity: int, chunk: int = 16):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
@@ -813,14 +815,52 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     sp_tcy = jnp.where(spill_valid, tcy[sc], 1)
 
     # Spill feature rows (queries AND candidates), f32 like the plane.
-    sp_pos = position[sc].astype(f32)
-    sp_vel = velocity[sc].astype(f32)
-    sp_prefc = pref_committed[sc].astype(f32)
-    sp_spref = self_pref[sc].astype(f32)
-    sp_prio = priority[sc].astype(f32)
-    sp_eye = eyesight[sc].astype(f32)
-    sp_rec = rec_vel[sc].astype(f32)
-    sp_id = jnp.where(spill_valid, spill_idx, -1).astype(f32)
+    sp = dict(
+        pos=position[sc].astype(f32),
+        vel=velocity[sc].astype(f32),
+        prefc=pref_committed[sc].astype(f32),
+        spref=self_pref[sc].astype(f32),
+        prio=priority[sc].astype(f32),
+        eye=eyesight[sc].astype(f32),
+        rec=rec_vel[sc].astype(f32),
+        id=jnp.where(spill_valid, spill_idx, -1).astype(f32),
+    )
+    out, q_id, _q_slots = _spill_groups(
+        cfg, zp, packed_t, sp, sp_tcx, sp_tcy, spill_valid, chunk
+    )
+
+    # Overwrite patched rows (overlapping groups recompute identical
+    # values — scatter order irrelevant).  q_id carries ROW_ID = agent
+    # indices here.
+    q_agent = q_id.astype(jnp.int32)
+    scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
+    vel = vel.at[scatter_idx].set(
+        out.reshape(-1, 2).astype(vel.dtype), mode="drop"
+    )
+    return vel, spill_over.astype(jnp.int32)
+
+
+def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
+                  sp_tcx, sp_tcy, spill_valid, chunk: int):
+    """Per-spill group evaluation shared by the agent-space patch above
+    and the slot-space persistent-rollout patch (core/persistent.py).
+
+    ``sp``: dict of spill feature rows [S, ...] (pos, vel, prefc, spref,
+    prio, eye, rec, id; f32) — ids must be unique against the packed
+    plane's ROW_ID space.  Returns (out [S, nq, 2] patched velocities,
+    q_id [S, nq] the queries' ROW_ID values (last column = the spill
+    itself), q_slots [S, nq-1] the window queries' packed slot indices).
+    """
+    from ..models.local import zanlungo_from_rows
+
+    s_cap = sp_tcx.shape[0]
+    chunk = min(int(chunk), s_cap)
+    assert s_cap % chunk == 0
+    b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    run = 5 * b
+    sp_pos, sp_vel, sp_prefc = sp["pos"], sp["vel"], sp["prefc"]
+    sp_spref, sp_prio, sp_eye = sp["spref"], sp["prio"], sp["eye"]
+    sp_rec, sp_id = sp["rec"], sp["id"]
 
     # 5 contiguous column slices per spill: a 5x5 tile window CLAMPED
     # into the world (not into the array — slot clipping would shift the
@@ -861,6 +901,15 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
 
     q_ok = jax.vmap(qok_slice)(row_ok, qx, qy).reshape(s_cap, 9 * b)
     nq = 9 * b + 1
+
+    # Window queries' packed slot indices (for slot-space callers).
+    qcol = bx[:, None] + qx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]
+    qrow0 = (by + qy)[:, None] * b  # row offset within the column
+    q_slots = (
+        (qcol[:, :, None] * ty) * b
+        + qrow0[:, :, None]
+        + jnp.arange(3 * b, dtype=jnp.int32)[None, None, :]
+    ).reshape(s_cap, 9 * b)
 
     q_pos = jnp.concatenate([qwin[..., ROW_PX:ROW_PX + 2],
                              sp_pos[:, None, :]], axis=1)
@@ -925,15 +974,7 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
         resh(c_pos), resh(c_vel), resh(c_prefc), resh(c_prio), resh(c_id),
     ))                                                       # [S/c, c, nq, 2]
     out = out.reshape(s_cap, nq, 2)
-
-    # Overwrite patched rows (overlapping groups recompute identical
-    # values — scatter order irrelevant).
-    q_agent = q_id.astype(jnp.int32)
-    scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
-    vel = vel.at[scatter_idx].set(
-        out.reshape(-1, 2).astype(vel.dtype), mode="drop"
-    )
-    return vel, spill_over.astype(jnp.int32)
+    return out, q_id, q_slots
 
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
