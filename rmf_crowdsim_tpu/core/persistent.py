@@ -11,27 +11,27 @@ rollout keeps the *bucketed* array as the resident state:
   ops/zanlungo_pallas.bucketize + the MXU pack kernel) only when some
   agent's displacement since the last rebin exceeds the *skin*
   ``(tile_size - max_eyesight) / 2`` — the classic MD neighbor-list
-  criterion.
+  criterion;
+- tiles holding more agents than ``bucket_capacity`` spill into a
+  fixed-capacity SIDE BUFFER carried between rebins: spill rows
+  integrate elementwise like packed rows, and every step the agent-space
+  spill machinery (ops/zanlungo_pallas._spill_groups) recomputes them
+  and their 3x3 neighborhoods EXACTLY — the reference's unbounded cells
+  (location_hash_2d.rs:15) without per-step re-sorting.  Only spills
+  beyond ``spill_capacity`` are dropped (counted in ``info``).
 
 Exactness: a candidate window reaches one tile (>= tile_size) beyond the
 query's rebin-time tile.  For current-position neighbors within
 ``eyesight`` to always be covered, drift_q + drift_c + eyesight <=
 tile_size suffices; rebinning at per-agent drift > skin enforces it.  So
-trajectories are bitwise-identical to rebinning every step (tested).
+trajectories are bitwise-identical to rebinning every step (tested),
+except rows touched by the spill patch (tolerance-level sum-order
+differences, like the general step's own spill path).
 
-Scope (round 1): closed worlds — no SourceSinks, fixed alive set; HL
-planners must implement ``plan_slots(params, packed) -> rec [slots, 2]``
+Scope: closed worlds — no SourceSinks, fixed alive set; HL planners must
+implement ``plan_slots(params, packed) -> rec [rows, 2]``
 (ConstantVelocity and ParityVelocity do).  The general step remains the
 full-featured path.
-
-Measured reality check (1M agents, v5e): the win is real only when
-per-step drift is far below the skin.  With force-kicked agents moving
-~10 m/s (force_cap 20, dt 1/60) rebins fire every ~2 steps and the
-slot-space rebin (1.8M rows) costs more than the general step's
-agent-space one — 250 ms/step vs 181.  At physical walking speeds
-(~1.5 m/s, drift ~0.025 m/step, skin 1.65 m) rebins drop to ~1 per 60+
-steps and the step collapses to the force kernel (~140 ms at 1M).
-Choose per scene.
 """
 
 from __future__ import annotations
@@ -44,11 +44,16 @@ from flax import struct
 
 from ..ops.zanlungo_pallas import (
     NUM_F,
+    ROW_EYE,
     ROW_ID,
+    ROW_ONE,
+    ROW_PRIO,
     ROW_PX,
     ROW_PY,
     ROW_RX,
     ROW_SPX,
+    ROW_VX,
+    _spill_groups,
     BucketConfig,
     bucketize,
     zanlungo_forces_bucketed,
@@ -62,39 +67,119 @@ ROW_UID = 14  # bucketize's `extra` column
 @struct.dataclass
 class PersistentCarry:
     packed: jax.Array       # [slots, NUM_F] f32 — THE resident state
-    anchor: jax.Array       # [slots, 2] positions at last rebin
+    spill: jax.Array        # [s_cap, NUM_F] f32 — bucket-overflow rows
+    anchor: jax.Array       # [slots + s_cap, 2] positions at last rebin
     agent_slot: jax.Array   # [N] int32 — agent row -> current slot
+    #                         (values >= slots index the spill buffer;
+    #                         == slots + s_cap: dropped)
     sim_time: jax.Array     # []
     n_rebins: jax.Array     # [] int32
     max_occ: jax.Array      # [] int32 — worst tile occupancy seen
-    dropped: jax.Array      # [] int32 — agents lost to bucket/pack
-    #                         overflow across all rebins (silent physics
-    #                         truncation; callers must surface nonzero)
+    dropped: jax.Array      # [] int32 — agents lost beyond the spill
+    #                         buffer across all rebins (loud truncation)
 
 
-def _rebin_from_slots(cfg: BucketConfig, packed, agent_slot,
-                      use_pack_kernel: bool, interpret: bool):
-    """Re-bucketize using the slot rows themselves as the agent list.
-    Slot ids stay unique (old slot index becomes the new ROW_ID), and the
-    agent->slot map is composed through the move."""
-    slots = cfg.slots
-    alive = packed[:, ROW_ID] >= 0.0
-    new_packed, move, occ, dropped = bucketize(
+def _extract_spills(rows, row_dest, slots: int, s_cap: int):
+    """Compact rows whose bucketize destination overflowed (``row_dest ==
+    slots`` while alive) into a [s_cap, NUM_F] buffer.  Returns (spill
+    buffer, dest' [rows] int32 mapping every input row to its new home:
+    packed slot | slots + spill row | slots + s_cap for dropped/dead,
+    n_dropped)."""
+    n_in = rows.shape[0]
+    alive = rows[:, ROW_ID] >= 0
+    over = alive & (row_dest >= slots)
+    rank = jnp.cumsum(over.astype(jnp.int32)) - 1
+    keep = over & (rank < s_cap)
+    tgt = jnp.where(keep, rank, jnp.int32(s_cap))
+
+    sent = jnp.zeros((s_cap, NUM_F), jnp.float32)
+    sent = sent.at[:, ROW_PX].set(1e30)
+    sent = sent.at[:, ROW_PY].set(1e30)
+    sent = sent.at[:, ROW_ID].set(-1.0)
+    spill = sent.at[tgt].set(rows, mode="drop")
+    # Spill rows get fresh ids past every possible packed id (packed
+    # ROW_ID = arange over the rebin input rows < n_in) so the pair
+    # machinery's self-exclusion stays sound.
+    new_id = jnp.where(spill[:, ROW_ID] >= 0,
+                       jnp.arange(s_cap, dtype=jnp.float32) + float(n_in),
+                       -1.0)
+    spill = spill.at[:, ROW_ID].set(new_id)
+
+    dest = jnp.where(
+        keep, jnp.int32(slots) + rank,
+        jnp.where(row_dest < slots, row_dest, jnp.int32(slots + s_cap)),
+    )
+    # dtype-pinned: under x64 jnp.sum promotes to int64 and breaks the
+    # lax.cond/scan carries.
+    n_dropped = jnp.sum((over & ~keep).astype(jnp.int32), dtype=jnp.int32)
+    return spill, dest, n_dropped
+
+
+def _rebin(cfg: BucketConfig, packed, spill, agent_slot, s_cap: int,
+           use_pack_kernel: bool, interpret: bool):
+    """Re-bucketize packed + spill rows together; overflow refills the
+    spill buffer; the agent->row map is composed through the move."""
+    rows = jnp.concatenate([packed, spill], axis=0)  # [slots + s_cap, F]
+    alive = rows[:, ROW_ID] >= 0.0
+    new_packed, move, occ, _ = bucketize(
         cfg,
-        packed[:, ROW_PX:ROW_PX + 2],
-        packed[:, 2:4],            # velocity
-        packed[:, 4:6],            # committed pref (what neighbors see)
-        packed[:, ROW_SPX:ROW_SPX + 2],
-        packed[:, 6],              # priority
-        packed[:, 7],              # eyesight
-        packed[:, ROW_RX:ROW_RX + 2],
+        rows[:, ROW_PX:ROW_PX + 2],
+        rows[:, ROW_VX:ROW_VX + 2],
+        rows[:, 4:6],              # committed pref (what neighbors see)
+        rows[:, ROW_SPX:ROW_SPX + 2],
+        rows[:, ROW_PRIO],
+        rows[:, ROW_EYE],
+        rows[:, ROW_RX:ROW_RX + 2],
         alive,
         use_pack_kernel=use_pack_kernel,
         interpret=interpret,
-        extra=packed[:, ROW_UID],
+        extra=rows[:, ROW_UID],
     )
-    new_agent_slot = move[jnp.clip(agent_slot, 0, slots - 1)]
-    return new_packed, new_agent_slot, occ, dropped
+    new_spill, dest, n_dropped = _extract_spills(
+        rows, move, cfg.slots, s_cap
+    )
+    new_agent_slot = dest[jnp.clip(agent_slot, 0, cfg.slots + s_cap - 1)]
+    return new_packed, new_spill, new_agent_slot, occ, n_dropped
+
+
+def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
+                  spill_valid):
+    """Slot-space spill patch: recompute each spill row and its 3x3
+    packed neighborhood exactly (ops/zanlungo_pallas._spill_groups) and
+    overwrite the kernel's outputs.  Returns (out_slots, spill_vel
+    [s_cap, 2])."""
+    s_cap = spill.shape[0]
+    inv_tile = 1.0 / cfg.tile_size
+    tcx = jnp.clip(jnp.floor(
+        (spill[:, ROW_PX] - cfg.offset[0]) * inv_tile).astype(jnp.int32),
+        0, cfg.tx - 1)
+    tcy = jnp.clip(jnp.floor(
+        (spill[:, ROW_PY] - cfg.offset[1]) * inv_tile).astype(jnp.int32),
+        0, cfg.ty - 1)
+    tcx = jnp.where(spill_valid, tcx, 1)
+    tcy = jnp.where(spill_valid, tcy, 1)
+    sp = dict(
+        pos=spill[:, ROW_PX:ROW_PX + 2],
+        vel=spill[:, ROW_VX:ROW_VX + 2],
+        prefc=spill[:, 4:6],
+        spref=spill[:, ROW_SPX:ROW_SPX + 2],
+        prio=spill[:, ROW_PRIO],
+        eye=spill[:, ROW_EYE],
+        rec=spill[:, ROW_RX:ROW_RX + 2],
+        id=jnp.where(spill_valid, spill[:, ROW_ID], -1.0),
+    )
+    out, q_id, q_slots = _spill_groups(
+        cfg, zp, packed, sp, tcx, tcy, spill_valid, chunk=16
+    )
+    # Window queries -> their packed slots; the last query row per group
+    # is the spill itself.
+    win_valid = q_id[:, :-1] >= 0
+    tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
+    out_slots = out_slots.at[tgt.reshape(-1)].set(
+        out[:, :-1].reshape(-1, 2), mode="drop"
+    )
+    spill_vel = out[:, -1]
+    return out_slots, spill_vel
 
 
 def build_persistent_rollout(config: SimConfig, hl_planner: Any,
@@ -105,10 +190,8 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     ``state0`` is a standard SimState (closed scene); the result SimState
     carries the final positions/velocities in agent order.
     """
-    from ..ops.zanlungo_pallas import BucketConfig as _BC
-
     assert config.grid is not None
-    bucket_cfg = _BC.create(
+    bucket_cfg = BucketConfig.create(
         config.grid.width, config.grid.height, config.grid.offset,
         config.max_eyesight, bucket=config.bucket_capacity,
         strip_tiles=config.strip_tiles, sub_tiles=config.sub_tiles,
@@ -121,23 +204,61 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     )
     interp = config.pallas_interpret
     use_pack = config.use_pack_kernel
+    # Rounded to the spill-group chunk size (16).
+    s_cap = ((max(16, int(config.spill_capacity)) + 15) // 16) * 16
+    slots = bucket_cfg.slots
+    n_ext = slots + s_cap
 
     def init_carry(state: SimState) -> PersistentCarry:
-        packed, bucket_pos, occ, dropped = bucketize(
+        n = state.capacity
+        f32 = jnp.float32
+        packed, bucket_pos, occ, _ = bucketize(
             bucket_cfg, state.position, state.velocity,
             state.preferred_vel, state.preferred_vel, state.priority,
             state.eyesight, jnp.zeros_like(state.velocity), state.alive,
             use_pack_kernel=use_pack, interpret=interp,
-            extra=state.uid.astype(jnp.float32),
+            extra=state.uid.astype(f32),
+        )
+        # Initial spills come from the agent arrays; build their feature
+        # rows in the bucketize layout.
+        feat = jnp.stack([
+            state.position[:, 0].astype(f32),
+            state.position[:, 1].astype(f32),
+            state.velocity[:, 0].astype(f32),
+            state.velocity[:, 1].astype(f32),
+            state.preferred_vel[:, 0].astype(f32),
+            state.preferred_vel[:, 1].astype(f32),
+            state.priority.astype(f32),
+            state.eyesight.astype(f32),
+            jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # rec
+            jnp.where(state.alive, jnp.arange(n, dtype=f32), -1.0),
+            state.preferred_vel[:, 0].astype(f32),
+            state.preferred_vel[:, 1].astype(f32),
+            jnp.zeros((n,), f32),
+            state.uid.astype(f32),
+            jnp.ones((n,), f32),
+        ], axis=-1)
+        spill, dest, n_dropped = _extract_spills(
+            feat, bucket_pos, slots, s_cap
+        )
+        agent_slot = jnp.where(
+            state.alive & (bucket_pos < slots), bucket_pos,
+            dest,
+        ).astype(jnp.int32)
+        agent_slot = jnp.where(state.alive, agent_slot, n_ext)
+        anchor = jnp.concatenate(
+            [packed[:, ROW_PX:ROW_PX + 2], spill[:, ROW_PX:ROW_PX + 2]],
+            axis=0,
         )
         return PersistentCarry(
             packed=packed,
-            anchor=packed[:, ROW_PX:ROW_PX + 2],
-            agent_slot=bucket_pos,
+            spill=spill,
+            anchor=anchor,
+            agent_slot=agent_slot,
             sim_time=state.sim_time,
             n_rebins=jnp.zeros((), jnp.int32),
             max_occ=occ,
-            dropped=dropped,
+            dropped=n_dropped,
         )
 
     def rollout(params_hl, params_z, state0: SimState, dt, n_steps: int):
@@ -153,53 +274,69 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
         carry0 = init_carry(state0)
 
         def step(c: PersistentCarry, _):
-            packed = c.packed
-            alive = packed[:, ROW_ID] >= 0.0
+            packed, spill = c.packed, c.spill
+            alive_p = packed[:, ROW_ID] >= 0.0
+            alive_s = spill[:, ROW_ID] >= 0.0
 
-            # HL pass in slot space -> rec velocity columns (8, 9) and the
-            # fresh own-pref columns (11, 12).
+            # HL pass in slot space -> rec velocity columns (8, 9) and
+            # the fresh own-pref columns (11, 12), on BOTH planes.
             rec = hl_planner.plan_slots(params_hl, packed)
             packed = packed.at[:, ROW_RX:ROW_RX + 2].set(rec)
             packed = packed.at[:, ROW_SPX:ROW_SPX + 2].set(rec)
+            rec_s = hl_planner.plan_slots(params_hl, spill)
+            spill = spill.at[:, ROW_RX:ROW_RX + 2].set(rec_s)
+            spill = spill.at[:, ROW_SPX:ROW_SPX + 2].set(rec_s)
 
-            # Fused Zanlungo forces on the resident layout.
+            # Fused Zanlungo forces on the resident layout, then the
+            # exact spill repair for overflow rows + their neighborhoods.
             out = zanlungo_forces_bucketed(
                 bucket_cfg, z5, packed, interpret=interp
             )  # [slots, 2]
-            vel = jnp.where(alive[:, None], out, 0.0)
+            out, spill_vel = _patch_spills(
+                bucket_cfg, params_z, packed, spill, out, alive_s
+            )
+            vel = jnp.where(alive_p[:, None], out, 0.0)
+            vel_s = jnp.where(alive_s[:, None], spill_vel, 0.0)
 
-            # Euler integration, elementwise on the packed columns.
+            # Euler integration, elementwise on both planes.
             pos = packed[:, ROW_PX:ROW_PX + 2] + vel * dt
             packed = packed.at[:, ROW_PX:ROW_PX + 2].set(pos)
-            packed = packed.at[:, 2:4].set(vel)
+            packed = packed.at[:, ROW_VX:ROW_VX + 2].set(vel)
+            pos_s = spill[:, ROW_PX:ROW_PX + 2] + vel_s * dt
+            spill = spill.at[:, ROW_PX:ROW_PX + 2].set(pos_s)
+            spill = spill.at[:, ROW_VX:ROW_VX + 2].set(vel_s)
 
-            # Skin check: rebin when any live agent drifted too far from
+            # Skin check: rebin when any live row drifted too far from
             # its rebin-time position.
+            cur = jnp.concatenate([pos, pos_s], axis=0)
+            alive_all = jnp.concatenate([alive_p, alive_s], axis=0)
             drift = jnp.where(
-                alive,
-                jnp.max(jnp.abs(pos - c.anchor), axis=-1),
-                0.0,
+                alive_all, jnp.max(jnp.abs(cur - c.anchor), axis=-1), 0.0
             )
             need = jnp.max(drift) > skin
 
             def do_rebin(args):
-                p, a_slot = args
-                np_, ns_, occ, drop = _rebin_from_slots(
-                    bucket_cfg, p, a_slot, use_pack, interp
+                p, sp_, a_slot = args
+                np_, ns_, nslot_, occ, drop = _rebin(
+                    bucket_cfg, p, sp_, a_slot, s_cap, use_pack, interp
                 )
-                return (np_, np_[:, ROW_PX:ROW_PX + 2], ns_, occ, drop,
-                        jnp.int32(1))
+                anchor = jnp.concatenate(
+                    [np_[:, ROW_PX:ROW_PX + 2],
+                     ns_[:, ROW_PX:ROW_PX + 2]], axis=0
+                )
+                return np_, ns_, anchor, nslot_, occ, drop, jnp.int32(1)
 
             def no_rebin(args):
-                p, a_slot = args
-                return (p, c.anchor, a_slot, jnp.zeros((), jnp.int32),
+                p, sp_, a_slot = args
+                return (p, sp_, c.anchor, a_slot, jnp.zeros((), jnp.int32),
                         jnp.zeros((), jnp.int32), jnp.int32(0))
 
-            packed, anchor, agent_slot, occ, drop, did = jax.lax.cond(
-                need, do_rebin, no_rebin, (packed, c.agent_slot)
+            packed, spill, anchor, agent_slot, occ, drop, did = jax.lax.cond(
+                need, do_rebin, no_rebin, (packed, spill, c.agent_slot)
             )
             c = PersistentCarry(
                 packed=packed,
+                spill=spill,
                 anchor=anchor,
                 agent_slot=agent_slot,
                 sim_time=c.sim_time + dt.astype(c.sim_time.dtype),
@@ -211,13 +348,14 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
 
         carry, _ = jax.lax.scan(step, carry0, None, length=n_steps)
 
-        # Unpack to agent order.
-        safe = jnp.clip(carry.agent_slot, 0, bucket_cfg.slots - 1)
-        ok = (carry.agent_slot < bucket_cfg.slots) & state0.alive
+        # Unpack to agent order (rows live in packed or the spill plane).
+        rows = jnp.concatenate([carry.packed, carry.spill], axis=0)
+        safe = jnp.clip(carry.agent_slot, 0, n_ext - 1)
+        ok = (carry.agent_slot < n_ext) & state0.alive
         pos = jnp.where(ok[:, None],
-                        carry.packed[safe][:, ROW_PX:ROW_PX + 2],
+                        rows[safe][:, ROW_PX:ROW_PX + 2],
                         state0.position.astype(jnp.float32)).astype(f)
-        vel = jnp.where(ok[:, None], carry.packed[safe][:, 2:4],
+        vel = jnp.where(ok[:, None], rows[safe][:, ROW_VX:ROW_VX + 2],
                         0.0).astype(f)
         state = state0.replace(position=pos, velocity=vel,
                                sim_time=carry.sim_time)

@@ -449,10 +449,14 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
     slots = cfg.slots
     ty, tx = cfg.ty, cfg.tx
 
-    win = 2 * 128  # DMA window: 2 aligned 128-lane groups
     C = 128        # compute width: the true (sub_tiles + 2)-tile halo
+    col_slots_s = ty * B
+    # Strip-resident segment: tiles [py0 - 1, py0 + strip + 1) plus
+    # alignment slack, clamped to the column.
+    W_EXT = min((((strip + 2) * B + 127) // 128) * 128 + 128, col_slots_s)
+    R = min(2 * C, W_EXT)  # per-sub-block aligned read width
 
-    def kernel(zp_ref, packed_any, qt_ref, out_ref, win_vmem, sem):
+    def kernel(zp_ref, packed_any, qt_ref, out_ref, strip_vmem, sem):
         # Alignment strategy (Mosaic tiles every memref (8, 128), even in
         # HBM, and requires 128-aligned lane offsets AND extents):
         #   - candidate windows are lane-dim DMA slices of the packed
@@ -466,7 +470,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
         #   - queries/outputs ride the SUBLANE dim of transposed arrays
         #     ([slots, NUM_F] / [slots, 2]) where bucket-granular offsets
         #     (multiples of 8) are legal.
-        # win_vmem: [2, 3, NUM_F, win] double-buffered windows.
+        # strip_vmem: [3, NUM_F, W_EXT] strip-resident column segments.
         px = pl.program_id(0)
         ps = pl.program_id(1)
         py0 = ps * strip
@@ -475,33 +479,37 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
         radius = zp_ref[3]
         col_slots = ty * B
 
-        def win_true_start(s, k):
-            # Unaligned start of the true halo: tiles [py0 + s*qb - 1,
-            # +qb+2) of column px+k-1, clipped into the array.  World-edge
-            # clipping shifts the window onto existing slots; the
-            # candidate-column mask rejects any slot outside column
-            # px+k-1, so clipped-in lanes never contribute.
-            g = ((px + (k - 1)) * ty + py0 + s * qb - 1) * B
-            return jnp.clip(g, 0, slots - C)
+        # ---- strip-resident candidate segments: ONE DMA set per program
+        # (three whole-strip column segments), not three per sub-block —
+        # per-transfer DMA latency at ~2 us dominated the kernel when
+        # issued 3x per 64-query sub-block (measured ~60 of 82 ms at 1M).
+        # Column-local aligned base covering tiles [py0 - 1, py0 + strip
+        # + 1) (clipped; W_EXT is sized for the worst misalignment).
+        base_l = jnp.clip(((py0 * B - B) // 128) * 128, 0,
+                          col_slots - W_EXT)
+        base_l = pl.multiple_of(base_l, 128)
 
-        def win_start(s, k):
-            # Aligned DMA base covering the true halo.  slots % 128 == 0
-            # (asserted via ty*bucket), so the clip preserves alignment;
-            # pl.multiple_of tells Mosaic, which cannot prove it through
-            # the floordiv+clip.
-            g_al = (win_true_start(s, k) // 128) * 128
-            return pl.multiple_of(jnp.clip(g_al, 0, slots - win), 128)
-
-        def win_dma(s, k, slot):
+        def strip_dma(k):
+            c = jnp.clip(px + (k - 1), 0, tx - 1)
+            abs_base = pl.multiple_of(c * col_slots + base_l, 128)
             return pltpu.make_async_copy(
-                packed_any.at[:, pl.ds(win_start(s, k), win)],
-                win_vmem.at[slot, k],
-                sem.at[slot, k],
+                packed_any.at[:, pl.ds(abs_base, W_EXT)],
+                strip_vmem.at[k],
+                sem.at[k],
             )
 
-        if double_buffer:
-            for k in range(3):
-                win_dma(0, k, 0).start()
+        for k in range(3):
+            strip_dma(k).start()
+        for k in range(3):
+            strip_dma(k).wait()
+
+        def win_true_start_l(s):
+            # Column-local unaligned halo start: tiles [py0 + s*qb - 1,
+            # +qb+2), clipped into the column.  Edge clipping shifts the
+            # window onto existing tiles of the SAME column (extra tiles
+            # are distance-masked; out-of-world columns are killed by the
+            # candidate-column mask).
+            return jnp.clip((py0 + s * qb - 1) * B, 0, col_slots - C)
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         if compact_pass2:
@@ -512,38 +520,32 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
             tri = (ci < rj).astype(jnp.float32)
 
         def sub_block(s, _):
-            if double_buffer:
-                slot = jax.lax.rem(s, 2)
-                nslot = jax.lax.rem(s + 1, 2)
-
-                @pl.when(s + 1 < nsub)
-                def _():
-                    for k in range(3):
-                        win_dma(s + 1, k, nslot).start()
-
-                for k in range(3):
-                    win_dma(s, k, slot).wait()
-            else:
-                slot = 0
-                for k in range(3):
-                    win_dma(s, k, 0).start()
-                for k in range(3):
-                    win_dma(s, k, 0).wait()
-
-            # Roll each DMA'd window left by its misalignment so lanes
-            # [0, C) hold exactly the true halo slots [g_cl, g_cl + C).
+            # Slice each sub-block's halo window from the strip-resident
+            # VMEM segments (128-aligned read + roll by the misalignment)
+            # so lanes [0, C) hold exactly the true halo.
+            g_l = win_true_start_l(s)
+            off = g_l - base_l                     # 32-granular, >= 0
+            off_al = pl.multiple_of(
+                jnp.clip((off // 128) * 128, 0, W_EXT - R), 128
+            )
+            shift = off - off_al                   # in [0, R - C]
             g_cls = []
             rolled = []
             for k in range(3):
-                g_cl = win_true_start(s, k)
-                shift = g_cl - win_start(s, k)  # in [0, 128]
-                w = pltpu.roll(
-                    win_vmem[slot, k],
-                    jax.lax.rem(jnp.int32(win) - shift.astype(jnp.int32),
-                                jnp.int32(win)),
-                    axis=1,
+                w = strip_vmem[k, :, pl.ds(off_al, R)]
+                if R > C:
+                    w = pltpu.roll(
+                        w,
+                        jax.lax.rem(
+                            jnp.int32(R) - shift.astype(jnp.int32),
+                            jnp.int32(R),
+                        ),
+                        axis=1,
+                    )
+                # Absolute slot of lane 0 (for the column mask).
+                g_cls.append(
+                    jnp.clip(px + (k - 1), 0, tx - 1) * col_slots + g_l
                 )
-                g_cls.append(g_cl)
                 rolled.append(w)
 
             q0 = s * sub_q
@@ -697,7 +699,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
 
-    return kernel, q_len, win
+    return kernel, q_len, W_EXT
 
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
@@ -710,8 +712,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
     [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
-    kernel, q_len, win = _make_kernel(cfg, double_buffer=double_buffer,
-                                      compact_pass2=compact_pass2)
+    kernel, q_len, w_ext = _make_kernel(cfg, double_buffer=double_buffer,
+                                        compact_pass2=compact_pass2)
     n_strips = cfg.ty // cfg.strip_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -733,8 +735,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, NUM_F, win), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((3, NUM_F, w_ext), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -857,6 +859,10 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
     chunk = min(int(chunk), s_cap)
     assert s_cap % chunk == 0
     b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    assert tx >= 5 and ty >= 5, (
+        "the spill machinery needs a >= 5x5-tile world (set "
+        "spill_capacity=0 for smaller worlds)"
+    )
     run = 5 * b
     sp_pos, sp_vel, sp_prefc = sp["pos"], sp["vel"], sp["prefc"]
     sp_spref, sp_prio, sp_eye = sp["spref"], sp["prio"], sp["eye"]

@@ -84,3 +84,55 @@ def test_persistent_rebins_trigger():
     p, info = run(hl.init_params(), lp.init_params(), state, 0.1, 40)
     assert int(info["n_rebins"]) >= 1
     assert np.isfinite(np.asarray(p.position)).all()
+
+
+def test_persistent_spill_buffer_matches_general_step():
+    """A hotspot tile overflowing bucket_capacity: overflow rows live in
+    the spill side buffer across rebins and are patched exactly — the
+    rollout still matches the general step (which uses its own
+    agent-space spill patch), and nothing is dropped."""
+    cfg, hl, lp, state = scene(n=64, world=36.0)
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, bucket_capacity=8, sub_tiles=14, strip_tiles=14,
+                     spill_capacity=32)
+    # Cram 20 agents into one 6 m tile (occupancy 20 > bucket 8).
+    rng = np.random.default_rng(9)
+    pos = np.array(state.position)
+    pos[:20] = rng.uniform(13.0, 17.0, (20, 2))
+    state = state.replace(position=jnp.asarray(pos, cfg.jdtype))
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=None)
+
+    n_steps, dt = 8, 0.05
+    step = jax.jit(build_step(cfg, [hl], [lp]))
+    s = state
+    for _ in range(n_steps):
+        s, ev = step(params, s, dt)
+        assert int(ev.neighbor_truncated) == 0
+        assert int(ev.max_cell_occupancy) > cfg.bucket_capacity
+
+    rollout = build_persistent_rollout(cfg, hl, lp)
+    run = jax.jit(rollout, static_argnums=(4,))
+    p, info = run(hl.init_params(), lp.init_params(), state, dt, n_steps)
+
+    assert int(info["dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(p.position), np.asarray(s.position),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_persistent_spill_cap_overrun_is_counted():
+    """Overflow beyond spill_capacity must surface in info['dropped']."""
+    cfg, hl, lp, state = scene(n=64, world=36.0)
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, bucket_capacity=8, sub_tiles=14, strip_tiles=14,
+                     spill_capacity=16)
+    rng = np.random.default_rng(9)
+    pos = np.array(state.position)
+    pos[:50] = rng.uniform(14.0, 16.0, (50, 2))  # 50 in one tile, cap 8+16
+    state = state.replace(position=jnp.asarray(pos, cfg.jdtype))
+    rollout = build_persistent_rollout(cfg, hl, lp)
+    run = jax.jit(rollout, static_argnums=(4,))
+    _, info = run(hl.init_params(), lp.init_params(), state, 0.05, 2)
+    assert int(info["dropped"]) > 0
