@@ -28,26 +28,16 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_bench(n_agents: int, dtype: str = "float32",
-                backend: str = "grid_pallas"):
-    """Dense-crowd Zanlungo scene at ``n_agents`` (BASELINE.json config 5:
-    dense corridors stressing grid rebinning + force-kernel occupancy)."""
-    from rmf_crowdsim_tpu import (
-        GridConfig,
-        ParityVelocity,
-        SimConfig,
-        SimParams,
-        Zanlungo,
-        make_state,
-    )
-    from rmf_crowdsim_tpu.core.step import build_rollout
+def _bench_config(n_agents: int, dtype: str = "float32",
+                  backend: str = "grid_pallas"):
+    from rmf_crowdsim_tpu import GridConfig, SimConfig
 
     # ~2.5 agents per cell at cell_size=2, eyesight=2: a dense crowd.
     area_per_agent = 1.6
     side = float(np.ceil(np.sqrt(n_agents * area_per_agent)))
     cell = 2.0
     side = float(np.ceil(side / cell) * cell)
-    config = SimConfig(
+    return SimConfig(
         capacity=n_agents,
         grid=GridConfig(width=side, height=side, cell_size=cell,
                         offset=(-side / 2, -side / 2)),
@@ -69,6 +59,22 @@ def build_bench(n_agents: int, dtype: str = "float32",
         spill_capacity=128,
         dtype=dtype,
     )
+
+
+def build_bench(n_agents: int, dtype: str = "float32",
+                backend: str = "grid_pallas"):
+    """Dense-crowd Zanlungo scene at ``n_agents`` (BASELINE.json config 5:
+    dense corridors stressing grid rebinning + force-kernel occupancy)."""
+    from rmf_crowdsim_tpu import (
+        ParityVelocity,
+        SimParams,
+        Zanlungo,
+        make_state,
+    )
+    from rmf_crowdsim_tpu.core.step import build_rollout
+
+    config = _bench_config(n_agents, dtype=dtype, backend=backend)
+    side = config.grid.width
     hl = ParityVelocity((1.0, 0.0))
     # Chunk the XLA-backend force pass at large N so [N,K] temporaries
     # stay bounded (the Pallas backend never materializes them).
@@ -101,6 +107,45 @@ def build_bench(n_agents: int, dtype: str = "float32",
     params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
                        sources=None)
     return rollout, params, state
+
+
+def time_steps_persistent(n_agents: int, n_steps: int = 20, reps: int = 3):
+    """The same closed scene through the bucket-resident persistent
+    rollout (core/persistent.py): the packed layout is the live state,
+    re-binned only when some agent outruns the skin — the per-step
+    sort/gather/pack of the general path amortizes away.  Physics matches
+    the general step (tested, incl. bucket-overflow spills).  Returns
+    (steps_per_sec, p50_step_ms, n_rebins)."""
+    from rmf_crowdsim_tpu.core.persistent import build_persistent_rollout
+
+    rollout, params, state = build_bench(n_agents, backend="grid_pallas")
+    # Rebuild the engine pieces build_bench used.
+    from rmf_crowdsim_tpu import ParityVelocity, Zanlungo
+
+    hl = ParityVelocity((1.0, 0.0))
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=20.0)
+    cfg = _bench_config(n_agents)
+    prun = jax.jit(build_persistent_rollout(cfg, hl, lp),
+                   static_argnums=(4,))
+    st, info = prun(hl.init_params(), lp.init_params(), state,
+                    1.0 / 60.0, n_steps)
+    assert float(st.sim_time) > 0.0
+    dropped = int(np.asarray(info["dropped"]))
+    assert dropped == 0, (
+        f"persistent bench drops {dropped} agents (spill_capacity too "
+        f"small for this occupancy)"
+    )
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st, info = prun(hl.init_params(), lp.init_params(), state,
+                        1.0 / 60.0, n_steps)
+        _ = float(st.sim_time)
+        best = min(best, time.perf_counter() - t0)
+    return (n_steps / best, (best / n_steps) * 1e3,
+            int(np.asarray(info["n_rebins"])))
 
 
 def time_steps(n_agents: int, n_steps: int = 20, reps: int = 3,
@@ -272,6 +317,22 @@ def main():
                           "unit": "steps/s", "vs_baseline": 0.0,
                           "extra": extra}))
         return
+    extra["engine"] = "general"
+    # The bucket-resident persistent engine (same physics, tested) skips
+    # the per-step re-binning; take the better of the two as the
+    # headline and report both.
+    if extra.get("neighbor_backend") == "grid_pallas":
+        try:
+            psps, pp50, n_rebins = time_steps_persistent(
+                headline_n, n_steps=20
+            )
+            extra["steps_per_sec_general"] = round(sps, 2)
+            extra["n_rebins_per_20_steps"] = n_rebins
+            if psps > sps:
+                sps, p50 = psps, pp50
+                extra["engine"] = "persistent"
+        except Exception as e:
+            print(f"persistent engine failed: {e!r}", file=sys.stderr)
     extra["p50_step_ms"] = round(p50, 3)
     extra["agent_steps_per_sec"] = round(sps * headline_n)
 

@@ -168,18 +168,26 @@ def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
         rec=spill[:, ROW_RX:ROW_RX + 2],
         id=jnp.where(spill_valid, spill[:, ROW_ID], -1.0),
     )
-    out, q_id, q_slots = _spill_groups(
-        cfg, zp, packed, sp, tcx, tcy, spill_valid, chunk=16
+    def run_patch(o):
+        out, q_id, q_slots = _spill_groups(
+            cfg, zp, packed, sp, tcx, tcy, spill_valid, chunk=16
+        )
+        # Window queries -> their packed slots; the last query row per
+        # group is the spill itself.
+        win_valid = q_id[:, :-1] >= 0
+        tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
+        o = o.at[tgt.reshape(-1)].set(
+            out[:, :-1].reshape(-1, 2), mode="drop"
+        )
+        return o, out[:, -1]
+
+    def no_patch(o):
+        return o, jnp.zeros((s_cap, 2), jnp.float32)
+
+    # Fixed-shape group cost; skip entirely when the buffer is empty.
+    return jax.lax.cond(
+        jnp.any(spill_valid), run_patch, no_patch, out_slots
     )
-    # Window queries -> their packed slots; the last query row per group
-    # is the spill itself.
-    win_valid = q_id[:, :-1] >= 0
-    tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
-    out_slots = out_slots.at[tgt.reshape(-1)].set(
-        out[:, :-1].reshape(-1, 2), mode="drop"
-    )
-    spill_vel = out[:, -1]
-    return out_slots, spill_vel
 
 
 def build_persistent_rollout(config: SimConfig, hl_planner: Any,

@@ -446,14 +446,49 @@ class Simulation:
     def get_nearest_neighbours(self, n: int, point) -> List[int]:
         """The ``n`` nearest agent ids to ``point``, nearest first
         (spatial_index.rs:7-8).  Exact — unlike the reference's ring scan,
-        which misses corner cells (location_hash_2d.rs:177-218)."""
+        which misses corner cells (location_hash_2d.rs:177-218).
+
+        With a grid configured, the query is spatially bounded like the
+        reference's: candidates come from an expanding cell window
+        (ops/neighbors.nearest_neighbors_grid) that grows until the k-th
+        hit is provably inside it; the O(N) brute pass is the fallback
+        (and the small-N / no-grid default)."""
+        point_j = jnp.asarray(point, self.config.jdtype)
+        if self.config.grid is not None and self.config.capacity >= 4096:
+            from ..ops.grid import bin_agents
+            from ..ops.neighbors import nearest_neighbors_grid
+
+            grid = self.config.grid
+            binning = bin_agents(grid, self.state.position, self.state.alive)
+            ring = max(1, grid.window_radius(self.config.max_eyesight))
+            max_dim = max(grid.nx, grid.ny)
+            while True:
+                idx, valid, overflow = nearest_neighbors_grid(
+                    grid, binning, self.state.position, self.state.alive,
+                    n, point_j, ring,
+                )
+                idx_np, valid_np = np.asarray(idx), np.asarray(valid)
+                if int(overflow) == 0 and bool(valid_np.all()):
+                    # Exactness: the k-th hit must be closer than the
+                    # window guarantees coverage for.
+                    kth = float(jnp.linalg.norm(
+                        self.state.position[idx_np[-1]] - point_j
+                    ))
+                    if kth < ring * grid.cell_size:
+                        uid = np.asarray(self.state.uid)
+                        return [int(uid[i])
+                                for i, v in zip(idx_np, valid_np) if v]
+                if ring >= max_dim:
+                    break
+                ring = min(max_dim, ring * 2)
+
         from ..ops.neighbors import nearest_neighbors
 
         idx, valid = nearest_neighbors(
             self.state.position,
             self.state.alive,
             n,
-            jnp.asarray(point, self.config.jdtype),
+            point_j,
         )
         uid = np.asarray(self.state.uid)
         idx, valid = np.asarray(idx), np.asarray(valid)

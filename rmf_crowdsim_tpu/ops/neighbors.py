@@ -96,3 +96,73 @@ def nearest_neighbors(
     dist = jnp.where(alive, dist, jnp.inf)
     neg_top, idx = jax.lax.top_k(-dist, k)
     return idx.astype(jnp.int32), jnp.isfinite(-neg_top)
+
+
+def nearest_neighbors_grid(
+    grid,            # core.config.GridConfig
+    binning,         # ops.grid.GridBinning (prebuilt, reusable)
+    position: jax.Array,  # [N, 2]
+    alive: jax.Array,     # [N] bool
+    k: int,
+    point: jax.Array,     # [2]
+    max_ring: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Spatially-bounded k-nearest-neighbors over a prebuilt grid binning
+    — the scalable analog of the reference's ring-expansion scan
+    (location_hash_2d.rs:151-238), exact where the reference misses
+    corner cells (exclusive upper ranges at :177-218).
+
+    Candidates come from the (2*max_ring+1)^2 cell window around the
+    query point (every cell's full segment, via fixed per-cell slices of
+    the sorted order); validity marks the true k nearest among them.
+    The result is EXACT iff the k-th neighbor lies within ``max_ring``
+    cells — the caller grows ``max_ring`` (the reference expands rings
+    the same way); cells are never truncated (whole segments are
+    scanned up to the segment cap implied by ``max_ring`` geometry).
+
+    Returns (idx[k] int32, valid[k] bool, overflow [] int32), nearest
+    first; nonzero overflow means a window cell exceeded the per-cell
+    read budget (grow it or fall back to the exact brute query).
+    """
+    from .grid import cell_id
+
+    n = position.shape[0]
+    side = 2 * max_ring + 1
+    # Segment cap: a cell can hold at most n agents; bound per-cell reads
+    # by the window's total candidate budget instead of a hard per-cell
+    # cap so dense cells are never silently cut.
+    per_cell = max(k, 64)
+
+    rel = (point - jnp.asarray(grid.offset, position.dtype)) / jnp.asarray(
+        grid.cell_size, position.dtype
+    )
+    cx = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32), 0, grid.nx - 1)
+    cy = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32), 0, grid.ny - 1)
+
+    off = jnp.arange(side, dtype=jnp.int32) - max_ring
+    wx = cx + off[:, None]
+    wy = cy + off[None, :]
+    ok = (wx >= 0) & (wx < grid.nx) & (wy >= 0) & (wy < grid.ny)
+    wcid = jnp.where(
+        ok,
+        cell_id(grid, jnp.clip(wx, 0, grid.nx - 1),
+                jnp.clip(wy, 0, grid.ny - 1)),
+        0,
+    ).reshape(-1)
+    ok = ok.reshape(-1)
+
+    seg_start = binning.starts[wcid]
+    seg_len = binning.starts[wcid + 1] - seg_start
+    j = jnp.arange(per_cell, dtype=jnp.int32)
+    cand_pos = jnp.clip(seg_start[:, None] + j[None, :], 0, n - 1)
+    cand_ok = ok[:, None] & (j[None, :] < seg_len[:, None])
+    cand = binning.order[cand_pos].reshape(-1)
+    cand_ok = cand_ok.reshape(-1)
+    overflow = jnp.sum(
+        jnp.where(ok, jnp.maximum(seg_len - per_cell, 0), 0)
+    )
+
+    d = jnp.linalg.norm(position[cand] - point[None, :], axis=-1)
+    d = jnp.where(cand_ok & alive[cand], d, jnp.inf)
+    neg_top, sel = jax.lax.top_k(-d, k)
+    return cand[sel].astype(jnp.int32), jnp.isfinite(-neg_top), overflow

@@ -566,32 +566,35 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
             def crow(k, r):
                 return rolled[k][r:r + 1, :C]
 
-            # ---- pass 1: min time-to-collision over the three windows
             inf = jnp.float32(jnp.inf)
-            t_i = jnp.full((sub_q, 1), inf, jnp.float32)
-            masks = []
-            for k in range(3):
-                cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
-                cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
-                cid_ = crow(k, ROW_ID)
-                # World-edge clipping may shift the window into a
-                # neighboring column; only candidates from column px+k-1
-                # are real (this also masks whole out-of-world columns).
-                cand_slot = g_cls[k] + lane_iota
-                col_ok = (cand_slot // col_slots) == (px + (k - 1))
-                ttc, dist2 = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
-                                       cvx_, cvy_, cpx_, cpy_, radius)
-                mask = (
-                    (dist2 < qeye_ * qeye_)
-                    & (cid_ != qid_)
-                    & (cid_ >= 0)
-                    & col_ok
-                )
-                masks.append(mask)
-                ttc = jnp.where(mask, ttc, inf)
-                t_i = jnp.minimum(t_i, jnp.min(ttc, axis=1, keepdims=True))
 
-            def write_out(fx, fy):
+            def window_masks():
+                """Cheap full-width pass: candidate masks per window (the
+                ~10-op distance/id/column math only — the expensive TTC
+                quadratic runs on compacted lanes below, or in the
+                fallback)."""
+                masks = []
+                for k in range(3):
+                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                    cid_ = crow(k, ROW_ID)
+                    # World-edge clipping may shift the window into a
+                    # neighboring column; only candidates from column
+                    # px+k-1 are real (also masks out-of-world columns).
+                    cand_slot = g_cls[k] + lane_iota
+                    lo = (px + (k - 1)) * col_slots
+                    col_ok = (cand_slot >= lo) & (cand_slot < lo + col_slots)
+                    dx = cpx_ - qpx_
+                    dy = cpy_ - qpy_
+                    dist2 = dx * dx + dy * dy
+                    masks.append(
+                        (dist2 < qeye_ * qeye_)
+                        & (cid_ != qid_)
+                        & (cid_ >= 0)
+                        & col_ok
+                    )
+                return masks
+
+            def write_out(t_i, fx, fy):
                 # Forces apply only when some neighbor has finite TTC
                 # (zanlungo.rs:211); output = rec + force / mass.
                 has = jnp.isfinite(t_i)
@@ -603,8 +606,19 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                 out_ref[pl.ds(q0, sub_q), 0:1] = out_x
                 out_ref[pl.ds(q0, sub_q), 1:2] = out_y
 
-            def full_pass2():
-                # ---- pass 2: force accumulation (zanlungo.rs:201-218)
+            def full_passes(masks):
+                # ---- full-width TTC (zanlungo.rs:76-91) + force
+                # accumulation (zanlungo.rs:201-218) over the 3 windows.
+                t_i = jnp.full((sub_q, 1), inf, jnp.float32)
+                for k in range(3):
+                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                    cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
+                    ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
+                                       cvx_, cvy_, cpx_, cpy_, radius)
+                    ttc = jnp.where(masks[k], ttc, inf)
+                    t_i = jnp.minimum(
+                        t_i, jnp.min(ttc, axis=1, keepdims=True)
+                    )
                 fx = jnp.zeros((sub_q, 1), jnp.float32)
                 fy = jnp.zeros((sub_q, 1), jnp.float32)
                 for k in range(3):
@@ -619,20 +633,23 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                     )
                     fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
                     fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
-                write_out(fx, fy)
+                write_out(t_i, fx, fy)
+
+            masks = window_masks()
 
             if not compact_pass2:
-                full_pass2()
+                full_passes(masks)
                 return 0
 
-            # ---- pass 2, COMPACTED: the ~8 true neighbors per query are
-            # a sliver of the 3*C candidate lanes.  Gather the union of
-            # every query's masked candidates into <= C lanes with an
-            # exact one-hot MXU matmul (0/1 weights, Precision.HIGHEST —
-            # bitwise, as ops/pack_pallas.py), then run the expensive
-            # force math once over [sub_q, C] instead of 3x.  Union
+            # ---- COMPACTED passes: the ~8 true neighbors per query are
+            # a sliver of the 3*C candidate lanes, so full-width math is
+            # VPU-instruction waste.  Gather the union of every query's
+            # masked candidates into <= C lanes with an exact one-hot MXU
+            # matmul (0/1 weights, Precision.HIGHEST — bitwise, as
+            # ops/pack_pallas.py), then run BOTH the TTC quadratic and
+            # the force math once over [sub_q, C] instead of 3x.  Union
             # overflow (> C candidates, dense hotspots) falls back to the
-            # full-width pass for this sub-block — exactness either way.
+            # full-width passes for this sub-block — exactness either way.
             u = jnp.concatenate(
                 [jnp.any(m, axis=0, keepdims=True) for m in masks], axis=1
             ).astype(jnp.float32)                       # [1, 3C]
@@ -676,24 +693,30 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                     return comp[r:r + 1, :]
 
                 cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
+                cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
                 cid_ = ccrow(ROW_ID)
                 d2 = (cpx_ - qpx_) ** 2 + (cpy_ - qpy_) ** 2
                 mask2 = (
                     (d2 < qeye_ * qeye_) & (cid_ != qid_) & (cid_ >= 0)
                 )
+                ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
+                                   cvx_, cvy_, cpx_, cpy_, radius)
+                ttc = jnp.where(mask2, ttc, inf)
+                t_i = jnp.min(ttc, axis=1, keepdims=True)
                 pfx, pfy = _pair_force(
                     zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
-                    cpx_, cpy_, ccrow(ROW_VX), ccrow(ROW_VY),
+                    cpx_, cpy_, cvx_, cvy_,
                     ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
                 )
                 write_out(
+                    t_i,
                     jnp.sum(pfx, axis=1, keepdims=True),
                     jnp.sum(pfy, axis=1, keepdims=True),
                 )
 
             @pl.when(count > jnp.float32(C))
             def _():
-                full_pass2()
+                full_passes(masks)
 
             return 0
 
@@ -827,18 +850,22 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
         rec=rec_vel[sc].astype(f32),
         id=jnp.where(spill_valid, spill_idx, -1).astype(f32),
     )
-    out, q_id, _q_slots = _spill_groups(
-        cfg, zp, packed_t, sp, sp_tcx, sp_tcy, spill_valid, chunk
-    )
+    def run_patch(v):
+        out, q_id, _q_slots = _spill_groups(
+            cfg, zp, packed_t, sp, sp_tcx, sp_tcy, spill_valid, chunk
+        )
+        # Overwrite patched rows (overlapping groups recompute identical
+        # values — scatter order irrelevant).  q_id carries ROW_ID =
+        # agent indices here.
+        q_agent = q_id.astype(jnp.int32)
+        scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
+        return v.at[scatter_idx].set(
+            out.reshape(-1, 2).astype(v.dtype), mode="drop"
+        )
 
-    # Overwrite patched rows (overlapping groups recompute identical
-    # values — scatter order irrelevant).  q_id carries ROW_ID = agent
-    # indices here.
-    q_agent = q_id.astype(jnp.int32)
-    scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
-    vel = vel.at[scatter_idx].set(
-        out.reshape(-1, 2).astype(vel.dtype), mode="drop"
-    )
+    # The group machinery has a fixed [s_cap, 289, >900]-shaped cost
+    # regardless of actual spills; skip it entirely on clean steps.
+    vel = jax.lax.cond(n_spill > 0, run_patch, lambda v: v, vel)
     return vel, spill_over.astype(jnp.int32)
 
 

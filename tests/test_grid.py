@@ -122,3 +122,40 @@ def test_point_queries():
     idx2, valid2 = nearest_neighbors(pos, alive2, 3, jnp.asarray([0.0, 0.0]))
     got = [i for i, v in zip(np.asarray(idx2), np.asarray(valid2)) if v]
     assert got == [1, 2]
+
+
+def test_grid_knn_matches_brute():
+    """Spatially-bounded kNN (expanding cell window) vs the exact brute
+    query — the reference's own oracle pattern
+    (location_hash_2d.rs:330-338), at a capacity that triggers the grid
+    path."""
+    import numpy as np
+
+    from rmf_crowdsim_tpu import GridConfig, SimConfig, Simulation
+    from rmf_crowdsim_tpu.ops.neighbors import nearest_neighbors
+
+    cfg = SimConfig(
+        capacity=4096,
+        grid=GridConfig(200.0, 200.0, 4.0, (-100.0, -100.0)),
+        neighbor_backend="grid",
+        max_eyesight=4.0,
+    )
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(2)
+    import jax.numpy as jnp
+
+    n = 4096
+    sim.state = sim.state.replace(
+        position=jnp.asarray(rng.uniform(-95, 95, (n, 2)), cfg.jdtype),
+        alive=jnp.asarray(rng.random(n) > 0.2),
+        uid=jnp.arange(n, dtype=jnp.int32),
+    )
+    for q in ((0.0, 0.0), (-90.0, 88.0), (50.0, -20.0)):
+        got = sim.get_nearest_neighbours(12, q)
+        idx, valid = nearest_neighbors(
+            sim.state.position, sim.state.alive, 12,
+            jnp.asarray(q, cfg.jdtype))
+        uid = np.asarray(sim.state.uid)
+        want = [int(uid[i]) for i, v in
+                zip(np.asarray(idx), np.asarray(valid)) if v]
+        assert got == want, (q, got, want)
