@@ -13,31 +13,39 @@ Layout ("cell list" in particle-code terms):
     maximum eyesight, arranged in a ``tx`` x ``ty`` grid, flat id
     ``t = tcx * ty + tcy`` (column-major, y minor).
 2.  Agents are binned into per-tile *buckets* of ``bucket`` slots
-    (sort-by-tile + rank; overflow agents keep their recommended velocity
-    and are reported via the occupancy diagnostic).
+    (sort-by-tile + rank; overflow agents spill to the EXACT repair pass
+    — :func:`spill_patch` — when enabled, else keep their recommended
+    velocity, loudly counted).
 3.  All per-agent features are packed into one ``[tx*ty*bucket, F]`` f32
     array; empty slots hold sentinels (position 1e30 => distance-masked).
-4.  Kernel grid = (tx, ty/strip_tiles): each program owns a *column strip*
-    of ``strip_tiles`` tiles and loops over ``sub_tiles``-sized query
-    sub-blocks, double-buffer-DMAing each sub-block's three candidate
-    windows (the sub-block's tile range +-1 halo tile, in columns tcx-1,
-    tcx, tcx+1) HBM->VMEM and computing pairwise TTC + forces against
-    them.  Because ``tile_size >= eyesight``, every true neighbor of a
-    query lies inside those windows; everything else is masked by the
-    exact ``dist < eyesight`` test (strict <, matching
-    location_hash_2d.rs:251).
+4.  Kernel grid = (tx, ty/strip_tiles): each program owns a *column
+    strip* of ``strip_tiles`` tiles.  It DMAs its three whole-strip
+    column segments (columns tcx-1, tcx, tcx+1 over tiles [py0-1,
+    py0+strip+1)) HBM->VMEM ONCE, then loops over ``sub_tiles``-sized
+    query sub-blocks, slicing each sub-block's three 128-slot halo
+    windows out of VMEM (128-aligned read + ``pltpu.roll`` by the
+    misalignment).  Per sub-block:
+    - a cheap full-width pass computes the candidate masks (strict
+      ``dist < eyesight``, matching location_hash_2d.rs:251, self and
+      column checks);
+    - the union of all queries' masked candidates (typically ~85 of the
+      384 lanes) is gathered into <= 128 lanes by an EXACT one-hot MXU
+      matmul, and the expensive math — the TTC quadratic + the Zanlungo
+      force — runs once on the compacted lanes;
+    - sub-blocks whose union overflows 128 lanes fall back to the
+      full-width passes (dense hotspots; exact either way).
+    Because ``tile_size >= eyesight``, every true neighbor of a query
+    lies inside its windows.
 
 Correctness notes:
 
-- Window starts are 128-aligned (Mosaic requirement) by aligning down and
-  reading twice the needed width; an explicit candidate-column mask kills
-  the cross-column bleed the widening introduces, so no pair is ever
-  double-counted.
-- Column wrap-around (the halo tile of a window at the column edge) lands
-  in a spatially distant tile and is distance-masked; this requires the
-  world to span >= 3 tiles per axis (asserted).
+- Window reads are 128-aligned (Mosaic requirement) and rolled to the
+  true halo; an explicit candidate-column mask kills cross-column reads
+  at world edges, so no pair is ever double-counted.
 - Self-pairs are excluded by slot-id equality (slot ids are exact in f32
   up to 2^24 — capacity is asserted below that).
+- Compaction matmuls use 0/1 weights at ``Precision.HIGHEST`` (full
+  bf16x3 decomposition): the gathered rows are BITWISE copies.
 - The force math mirrors models/local.py line for line (which itself
   carries the zanlungo.rs citations); the jnp version is the oracle in
   tests/test_zanlungo_pallas.py.
@@ -850,22 +858,44 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
         rec=rec_vel[sc].astype(f32),
         id=jnp.where(spill_valid, spill_idx, -1).astype(f32),
     )
-    def run_patch(v):
-        out, q_id, _q_slots = _spill_groups(
-            cfg, zp, packed_t, sp, sp_tcx, sp_tcy, spill_valid, chunk
-        )
-        # Overwrite patched rows (overlapping groups recompute identical
-        # values — scatter order irrelevant).  q_id carries ROW_ID =
-        # agent indices here.
-        q_agent = q_id.astype(jnp.int32)
-        scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
-        return v.at[scatter_idx].set(
-            out.reshape(-1, 2).astype(v.dtype), mode="drop"
+    def make_tier(cap: int):
+        """Patch using only the first ``cap`` spill rows — exact whenever
+        n_spill <= cap (the compaction fills in order)."""
+
+        def tier(v):
+            out, q_id, _q_slots = _spill_groups(
+                cfg, zp, packed_t,
+                {k_: v_[:cap] for k_, v_ in sp.items()},
+                sp_tcx[:cap], sp_tcy[:cap], spill_valid[:cap], chunk,
+            )
+            # Overwrite patched rows (overlapping groups recompute
+            # identical values — scatter order irrelevant).  q_id carries
+            # ROW_ID = agent indices here.
+            q_agent = q_id.astype(jnp.int32)
+            scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
+            return v.at[scatter_idx].set(
+                out.reshape(-1, 2).astype(v.dtype), mode="drop"
+            )
+
+        return tier
+
+    # The group machinery's cost is fixed by its static tier shape, not
+    # the actual spill count — pick the smallest sufficient tier (and
+    # skip entirely on clean steps, the common case).
+    tiers = sorted({min(16, s_cap), min(64, s_cap), s_cap})
+
+    def dispatch(i, v):
+        cap = tiers[i]
+        if i + 1 == len(tiers):
+            return make_tier(cap)(v)
+        return jax.lax.cond(
+            n_spill <= cap, make_tier(cap),
+            lambda vv: dispatch(i + 1, vv), v
         )
 
-    # The group machinery has a fixed [s_cap, 289, >900]-shaped cost
-    # regardless of actual spills; skip it entirely on clean steps.
-    vel = jax.lax.cond(n_spill > 0, run_patch, lambda v: v, vel)
+    vel = jax.lax.cond(
+        n_spill > 0, lambda v: dispatch(0, v), lambda v: v, vel
+    )
     return vel, spill_over.astype(jnp.int32)
 
 
