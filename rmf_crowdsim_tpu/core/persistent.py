@@ -62,18 +62,27 @@ from .config import SimConfig
 from .state import SimState
 
 ROW_UID = 14  # bucketize's `extra` column
+_ID_BASE = 1 << 23  # spill-row id offset (ids stay exact in f32)
 
 
 @struct.dataclass
 class PersistentCarry:
     packed: jax.Array       # [slots, NUM_F] f32 — THE resident state
-    spill: jax.Array        # [s_cap, NUM_F] f32 — bucket-overflow rows
-    anchor: jax.Array       # [slots + s_cap, 2] positions at last rebin
-    agent_slot: jax.Array   # [N] int32 — agent row -> current slot
-    #                         (values >= slots index the spill buffer;
-    #                         == slots + s_cap: dropped)
+    spill: jax.Array        # [s_cap, NUM_F] f32 — bucket-overflow and
+    #                         evicted skin-exceeder rows (front-filled)
+    anchor: jax.Array       # [slots, 2] packed positions at last rebin
+    #                         (spill rows need no anchor: their coverage
+    #                         is rebuilt from CURRENT tiles every step)
+    agent_slot: jax.Array   # [N] int32 — agent -> row at the LAST REBIN
+    #                         (>= slots: spill entry; == slots + s_cap:
+    #                         dropped)
+    reloc: jax.Array        # [slots + s_cap + 1] int32 — rebin-time row
+    #                         -> current row (identity except evictions,
+    #                         which move a row at most once per epoch)
     sim_time: jax.Array     # []
     n_rebins: jax.Array     # [] int32
+    n_evicted: jax.Array    # [] int32 — skin-exceeders moved to the
+    #                         spill buffer instead of a full rebin
     max_occ: jax.Array      # [] int32 — worst tile occupancy seen
     dropped: jax.Array      # [] int32 — agents lost beyond the spill
     #                         buffer across all rebins (loud truncation)
@@ -97,11 +106,12 @@ def _extract_spills(rows, row_dest, slots: int, s_cap: int):
     sent = sent.at[:, ROW_PY].set(1e30)
     sent = sent.at[:, ROW_ID].set(-1.0)
     spill = sent.at[tgt].set(rows, mode="drop")
-    # Spill rows get fresh ids past every possible packed id (packed
-    # ROW_ID = arange over the rebin input rows < n_in) so the pair
-    # machinery's self-exclusion stays sound.
+    # Spill rows get fresh position-based ids past every possible packed
+    # id (packed ROW_ID = arange over the rebin input rows, < 2^23 by
+    # the builder's assert) so the pair machinery's self-exclusion stays
+    # sound and re-basing is idempotent.
     new_id = jnp.where(spill[:, ROW_ID] >= 0,
-                       jnp.arange(s_cap, dtype=jnp.float32) + float(n_in),
+                       jnp.arange(s_cap, dtype=jnp.float32) + float(_ID_BASE),
                        -1.0)
     spill = spill.at[:, ROW_ID].set(new_id)
 
@@ -115,10 +125,11 @@ def _extract_spills(rows, row_dest, slots: int, s_cap: int):
     return spill, dest, n_dropped
 
 
-def _rebin(cfg: BucketConfig, packed, spill, agent_slot, s_cap: int,
+def _rebin(cfg: BucketConfig, packed, spill, s_cap: int,
            use_pack_kernel: bool, interpret: bool):
     """Re-bucketize packed + spill rows together; overflow refills the
-    spill buffer; the agent->row map is composed through the move."""
+    spill buffer.  Returns (packed', spill', dest [slots + s_cap] row ->
+    new row, occ, dropped)."""
     rows = jnp.concatenate([packed, spill], axis=0)  # [slots + s_cap, F]
     alive = rows[:, ROW_ID] >= 0.0
     new_packed, move, occ, _ = bucketize(
@@ -138,8 +149,7 @@ def _rebin(cfg: BucketConfig, packed, spill, agent_slot, s_cap: int,
     new_spill, dest, n_dropped = _extract_spills(
         rows, move, cfg.slots, s_cap
     )
-    new_agent_slot = dest[jnp.clip(agent_slot, 0, cfg.slots + s_cap - 1)]
-    return new_packed, new_spill, new_agent_slot, occ, n_dropped
+    return new_packed, new_spill, dest, occ, n_dropped
 
 
 def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
@@ -168,25 +178,48 @@ def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
         rec=spill[:, ROW_RX:ROW_RX + 2],
         id=jnp.where(spill_valid, spill[:, ROW_ID], -1.0),
     )
-    def run_patch(o):
-        out, q_id, q_slots = _spill_groups(
-            cfg, zp, packed, sp, tcx, tcy, spill_valid, chunk=16
-        )
-        # Window queries -> their packed slots; the last query row per
-        # group is the spill itself.
-        win_valid = q_id[:, :-1] >= 0
-        tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
-        o = o.at[tgt.reshape(-1)].set(
-            out[:, :-1].reshape(-1, 2), mode="drop"
-        )
-        return o, out[:, -1]
+    n_live = jnp.sum(spill_valid.astype(jnp.int32), dtype=jnp.int32)
+
+    def make_tier(cap: int):
+        # The buffer is front-filled (entries never free between
+        # rebins), so the first `cap` rows hold every live spill when
+        # n_live <= cap.
+        def tier(o):
+            out, q_id, q_slots = _spill_groups(
+                cfg, zp, packed,
+                {k_: v_[:cap] for k_, v_ in sp.items()},
+                tcx[:cap], tcy[:cap], spill_valid[:cap], chunk=16,
+            )
+            win_valid = q_id[:, :-1] >= 0
+            tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
+            o = o.at[tgt.reshape(-1)].set(
+                out[:, :-1].reshape(-1, 2), mode="drop"
+            )
+            sv = jnp.zeros((s_cap, 2), jnp.float32)
+            sv = sv.at[:cap].set(out[:, -1])
+            return o, sv
+
+        return tier
 
     def no_patch(o):
         return o, jnp.zeros((s_cap, 2), jnp.float32)
 
-    # Fixed-shape group cost; skip entirely when the buffer is empty.
+    tiers = sorted({min(16, s_cap), min(64, s_cap), min(192, s_cap),
+                    s_cap})
+
+    def dispatch(i, o):
+        cap = tiers[i]
+        if i + 1 == len(tiers):
+            return make_tier(cap)(o)
+        return jax.lax.cond(
+            n_live <= cap, make_tier(cap),
+            lambda oo: dispatch(i + 1, oo), o
+        )
+
+    # Fixed-shape group cost per tier; pick the smallest sufficient one
+    # and skip entirely when the buffer is empty.
     return jax.lax.cond(
-        jnp.any(spill_valid), run_patch, no_patch, out_slots
+        n_live > 0, lambda o: dispatch(0, o), no_patch, out_slots
     )
 
 
@@ -216,6 +249,9 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     s_cap = ((max(16, int(config.spill_capacity)) + 15) // 16) * 16
     slots = bucket_cfg.slots
     n_ext = slots + s_cap
+    assert n_ext < _ID_BASE and config.capacity < _ID_BASE, (
+        "row ids must stay exact in f32 below the spill id base"
+    )
 
     def init_carry(state: SimState) -> PersistentCarry:
         n = state.capacity
@@ -250,21 +286,19 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             feat, bucket_pos, slots, s_cap
         )
         agent_slot = jnp.where(
-            state.alive & (bucket_pos < slots), bucket_pos,
-            dest,
+            state.alive,
+            jnp.where(bucket_pos < slots, bucket_pos, dest),
+            n_ext,
         ).astype(jnp.int32)
-        agent_slot = jnp.where(state.alive, agent_slot, n_ext)
-        anchor = jnp.concatenate(
-            [packed[:, ROW_PX:ROW_PX + 2], spill[:, ROW_PX:ROW_PX + 2]],
-            axis=0,
-        )
         return PersistentCarry(
             packed=packed,
             spill=spill,
-            anchor=anchor,
+            anchor=packed[:, ROW_PX:ROW_PX + 2],
             agent_slot=agent_slot,
+            reloc=jnp.arange(n_ext + 1, dtype=jnp.int32),
             sim_time=state.sim_time,
             n_rebins=jnp.zeros((), jnp.int32),
+            n_evicted=jnp.zeros((), jnp.int32),
             max_occ=occ,
             dropped=n_dropped,
         )
@@ -314,41 +348,103 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             spill = spill.at[:, ROW_PX:ROW_PX + 2].set(pos_s)
             spill = spill.at[:, ROW_VX:ROW_VX + 2].set(vel_s)
 
-            # Skin check: rebin when any live row drifted too far from
-            # its rebin-time position.
-            cur = jnp.concatenate([pos, pos_s], axis=0)
-            alive_all = jnp.concatenate([alive_p, alive_s], axis=0)
+            # Skin check over PACKED rows only (spill rows need no
+            # anchor — their coverage is rebuilt from current tiles
+            # every step).  Exceeders are EVICTED into the spill
+            # buffer's free entries; a full rebin fires only when the
+            # buffer cannot absorb them — so a handful of fast outliers
+            # (the per-pair force cap allows ~1.35 m/step kicks) no
+            # longer forces whole-array re-sorts every couple of steps.
             drift = jnp.where(
-                alive_all, jnp.max(jnp.abs(cur - c.anchor), axis=-1), 0.0
+                alive_p, jnp.max(jnp.abs(pos - c.anchor), axis=-1), 0.0
             )
-            need = jnp.max(drift) > skin
+            exceed = drift > skin
+            n_exceed = jnp.sum(exceed.astype(jnp.int32), dtype=jnp.int32)
+            n_free_spill = jnp.sum((~alive_s).astype(jnp.int32),
+                                   dtype=jnp.int32)
+            need_rebin = n_exceed > jnp.minimum(n_free_spill, s_cap)
 
             def do_rebin(args):
-                p, sp_, a_slot = args
-                np_, ns_, nslot_, occ, drop = _rebin(
-                    bucket_cfg, p, sp_, a_slot, s_cap, use_pack, interp
+                p, sp_ = args
+                np_, ns_, dest, occ, drop = _rebin(
+                    bucket_cfg, p, sp_, s_cap, use_pack, interp
                 )
-                anchor = jnp.concatenate(
-                    [np_[:, ROW_PX:ROW_PX + 2],
-                     ns_[:, ROW_PX:ROW_PX + 2]], axis=0
+                # Compose: rebin-epoch slot -> current row (evictions)
+                # -> new row; reset the relocation lut.
+                dest_pad = jnp.concatenate(
+                    [dest, jnp.asarray([n_ext], jnp.int32)]
                 )
-                return np_, ns_, anchor, nslot_, occ, drop, jnp.int32(1)
+                a_slot = dest_pad[c.reloc[jnp.clip(c.agent_slot, 0, n_ext)]]
+                return (np_, ns_, np_[:, ROW_PX:ROW_PX + 2], a_slot,
+                        jnp.arange(n_ext + 1, dtype=jnp.int32), occ, drop,
+                        jnp.int32(1), jnp.int32(0))
 
-            def no_rebin(args):
-                p, sp_, a_slot = args
-                return (p, sp_, c.anchor, a_slot, jnp.zeros((), jnp.int32),
-                        jnp.zeros((), jnp.int32), jnp.int32(0))
+            def do_evict(args):
+                p, sp_ = args
+                # Worst drifters first (top_k also caps the compaction
+                # at s_cap without a full-array scatter).
+                key = jnp.where(exceed, drift, -jnp.inf)
+                top, idx = jax.lax.top_k(key, s_cap)
+                valid = jnp.isfinite(top) & (top > skin)
+                rows = p[idx]                       # [s_cap, NUM_F]
+                # Free spill entries, ascending (buffer is front-filled
+                # and entries never free between rebins).
+                free_rank = jnp.sort(jnp.where(
+                    ~alive_s, jnp.arange(s_cap, dtype=jnp.int32),
+                    jnp.int32(s_cap),
+                ))
+                rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+                tgt = jnp.where(
+                    valid, free_rank[jnp.clip(rank, 0, s_cap - 1)],
+                    jnp.int32(s_cap),
+                )
+                sp_ = sp_.at[tgt].set(rows, mode="drop")
+                # Position-based spill ids (unique past every packed id).
+                live = sp_[:, ROW_ID] >= 0
+                sp_ = sp_.at[:, ROW_ID].set(jnp.where(
+                    live,
+                    jnp.arange(s_cap, dtype=jnp.float32) + float(_ID_BASE),
+                    -1.0,
+                ))
+                # Sentinelize the evicted packed slots.
+                sent_row = jnp.zeros((s_cap, NUM_F), jnp.float32)
+                sent_row = sent_row.at[:, ROW_PX].set(1e30)
+                sent_row = sent_row.at[:, ROW_PY].set(1e30)
+                sent_row = sent_row.at[:, ROW_ID].set(-1.0)
+                p = p.at[jnp.where(valid, idx, slots)].set(
+                    sent_row, mode="drop"
+                )
+                n_moved = jnp.sum(valid.astype(jnp.int32), dtype=jnp.int32)
+                reloc = c.reloc.at[jnp.where(valid, idx, n_ext)].set(
+                    jnp.where(valid, jnp.int32(slots) + tgt, n_ext),
+                    mode="drop",
+                )
+                return (p, sp_, c.anchor, c.agent_slot, reloc,
+                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                        jnp.int32(0), n_moved)
 
-            packed, spill, anchor, agent_slot, occ, drop, did = jax.lax.cond(
-                need, do_rebin, no_rebin, (packed, spill, c.agent_slot)
+            def do_nothing(args):
+                p, sp_ = args
+                return (p, sp_, c.anchor, c.agent_slot, c.reloc,
+                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                        jnp.int32(0), jnp.int32(0))
+
+            (packed, spill, anchor, agent_slot, reloc, occ, drop, did,
+             moved) = jax.lax.cond(
+                need_rebin, do_rebin,
+                lambda a: jax.lax.cond(n_exceed > 0, do_evict,
+                                       do_nothing, a),
+                (packed, spill),
             )
             c = PersistentCarry(
                 packed=packed,
                 spill=spill,
                 anchor=anchor,
                 agent_slot=agent_slot,
+                reloc=reloc,
                 sim_time=c.sim_time + dt.astype(c.sim_time.dtype),
                 n_rebins=c.n_rebins + did,
+                n_evicted=c.n_evicted + moved,
                 max_occ=jnp.maximum(c.max_occ, occ),
                 dropped=c.dropped + drop,
             )
@@ -356,10 +452,13 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
 
         carry, _ = jax.lax.scan(step, carry0, None, length=n_steps)
 
-        # Unpack to agent order (rows live in packed or the spill plane).
+        # Unpack to agent order (rows live in packed or the spill
+        # plane; evictions since the last rebin resolve via the
+        # relocation lut).
         rows = jnp.concatenate([carry.packed, carry.spill], axis=0)
-        safe = jnp.clip(carry.agent_slot, 0, n_ext - 1)
-        ok = (carry.agent_slot < n_ext) & state0.alive
+        cur_slot = carry.reloc[jnp.clip(carry.agent_slot, 0, n_ext)]
+        safe = jnp.clip(cur_slot, 0, n_ext - 1)
+        ok = (cur_slot < n_ext) & state0.alive
         pos = jnp.where(ok[:, None],
                         rows[safe][:, ROW_PX:ROW_PX + 2],
                         state0.position.astype(jnp.float32)).astype(f)
@@ -368,7 +467,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
         state = state0.replace(position=pos, velocity=vel,
                                sim_time=carry.sim_time)
         info = {"n_rebins": carry.n_rebins, "max_occupancy": carry.max_occ,
-                "dropped": carry.dropped}
+                "dropped": carry.dropped, "n_evicted": carry.n_evicted}
         return state, info
 
     return rollout
