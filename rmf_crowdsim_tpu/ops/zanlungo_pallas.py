@@ -363,7 +363,11 @@ def _sin0hp(x):
 def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
                 cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask):
     """Pairwise force [Q, C] given per-query min TTC ``t_i`` [Q, 1]
-    (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity)."""
+    (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity).
+
+    Divisions by per-query (t_i) and scalar (force_distance) values are
+    hoisted to reciprocals outside the [Q, C] pair math — VPU divides
+    are multi-op and the kernel is instruction-rate bound."""
     agent_scale, force_distance, _mass, radius, force_cap = zp
 
     # right_of_way_vel (zanlungo.rs:173-198); sqrt(|row|) computed once
@@ -433,13 +437,13 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     sdx = mvx - ovx
     sdy = mvy - ovy
     speed_diff = jnp.sqrt(sdx * sdx + sdy * sdy)
-    safe_t = jnp.where(t_i > 0, t_i, 1.0)
-    magnitude = weight * agent_scale * speed_diff / safe_t
+    inv_t = 1.0 / jnp.where(t_i > 0, t_i, 1.0)  # [Q, 1] — one div/query
+    magnitude = weight * agent_scale * speed_diff * inv_t
     inf = jnp.float32(jnp.inf)
     magnitude = jnp.where((t_i == 0) & (speed_diff * weight > 0), inf,
                           magnitude)
     magnitude = jnp.minimum(magnitude, force_cap)
-    falloff = jnp.exp(-surface_dist / force_distance)
+    falloff = jnp.exp(surface_dist * (-1.0 / force_distance))  # scalar div
     scale = magnitude * falloff
     # Select AFTER the multiply: masked lanes hold sentinel-driven inf/NaN
     # garbage that must never leak through arithmetic.
