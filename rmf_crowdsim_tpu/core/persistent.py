@@ -36,7 +36,7 @@ full-featured path.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,6 @@ from ..ops.zanlungo_pallas import (
     NUM_F,
     ROW_EYE,
     ROW_ID,
-    ROW_ONE,
     ROW_PRIO,
     ROW_PX,
     ROW_PY,

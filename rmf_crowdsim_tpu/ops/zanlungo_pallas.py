@@ -527,6 +527,9 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
         if compact_pass2:
             # Strict-lower-triangular 0/1 matrix for the exclusive prefix
             # count (built once per program, reused across sub-blocks).
+            # NOTE: a log-shift Hillis-Steele prefix was measured SLOWER
+            # (85 vs 74 ms at 1M) — VPU lane-shift networks lose to the
+            # MXU even at M=1; don't retry.
             ci = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 0)
             rj = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 1)
             tri = (ci < rj).astype(jnp.float32)
@@ -685,6 +688,10 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                 w_all = jnp.concatenate(
                     [rolled[k][:, :C] for k in range(3)], axis=1
                 )                                        # [NUM_F, 3C]
+                # NOTE: the transposed orientation (p_t @ w_all.T ->
+                # [C, NUM_F], full MXU M-utilization, then .T back)
+                # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
+                # transpose outweighs the M-util gain; don't retry.
                 comp = jax.lax.dot_general(
                     w_all, p_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
