@@ -16,10 +16,17 @@ Layout
   it.  The agent SoA (capacity ``N``) is sharded ``P("world_x")`` over
   the agent dim: each shard holds ``M = N / D`` slots.
 - **Forces**: each shard bucketizes its own agents directly into an
-  extended ``(cols_per + 2)``-column block (its region shifted one halo
-  column right), fills the two halo columns from its neighbors via
-  ``jax.lax.ppermute`` over ICI, and runs the unchanged fused kernel on
-  the extended block.
+  extended block (its region plus H halo columns per side, H = 2 when
+  the spill patch is on, else 1), fills the halo columns from its
+  neighbors via ``jax.lax.ppermute`` over ICI, and runs the unchanged
+  fused kernel on the extended block.
+- **Bucket overflow is exact** (``config.spill_capacity`` > 0): local
+  spills are exchanged with both neighbors (a boundary hotspot's blast
+  radius crosses shards), the merged list is canonically uid-sorted, and
+  each spill's 3x3 neighborhood is recomputed against the extended
+  block's 5x5 windows (the 2-column halos guarantee coverage) — zero
+  truncation, tolerance-level consistent across device counts (tested
+  with a hotspot straddling a shard boundary).
 - **Migration**: after integration, agents whose x crossed a region
   boundary are compacted into fixed-capacity records and ppermuted to
   the neighboring shard, which inserts them into free slots.  World-edge
@@ -161,8 +168,17 @@ def build_world_step(
     if tx % d:
         tx = (tx // d + 1) * d
     cols_per = tx // d
-    # Kernel block: my columns shifted +1, plus the two halo columns.
-    ext_cfg = dataclasses.replace(cfg0, tx=cols_per + 2)
+    # Halo width: 1 column suffices for the force kernel; EXACT bucket-
+    # overflow repair (the spill patch) reads 5x5 tile windows, which
+    # need 2 halo columns.  Spill support also needs neighbor spill
+    # exchange and a >= 5-tile extended block.
+    s_cap = ((max(16, int(config.spill_capacity)) + 15) // 16) * 16
+    use_spills = (
+        config.spill_capacity > 0 and cols_per >= 2 and cfg0.ty >= 5
+    )
+    H = 2 if use_spills else 1
+    # Kernel block: my columns shifted +H, plus 2H halo columns.
+    ext_cfg = dataclasses.replace(cfg0, tx=cols_per + 2 * H)
     col_slots = cfg0.ty * cfg0.bucket
     region_w = cfg0.tile_size * cols_per
     x0 = cfg0.offset[0]
@@ -247,10 +263,13 @@ def build_world_step(
         dropped = jnp.sum(n_requested) - n_spawned_global
         return st, spawned, dropped
 
-    def local_forces(st: SimState, rec_vel, self_pref, lp_params, i):
-        """Per-shard canonical bucketize + halo exchange + fused kernel.
-        Returns (vel [M,2], max_occ, truncated, stray) — vel only valid
-        for fused-planner agents (callers select per lp_idx)."""
+    def local_forces(st: SimState, rec_vel, self_pref, lp_params, zp_tree,
+                     i):
+        """Per-shard canonical bucketize + halo exchange + fused kernel
+        (+ exact spill repair with neighbor spill exchange when
+        ``config.spill_capacity`` > 0).  Returns (vel [M,2], max_occ,
+        truncated, stray) — vel only valid for fused-planner agents
+        (callers select per lp_idx)."""
         # Canonical (tile, uid) candidate order: a uid pre-sort feeding
         # bucketize's stable tile sort (sharding invariance — see module
         # docstring).
@@ -258,8 +277,9 @@ def build_world_step(
         ord_u = jnp.argsort(uid_key).astype(jnp.int32)
 
         # Shift into the extended block: my region occupies columns
-        # [1, cols_per]; columns 0 / cols_per+1 are halo (filled below).
-        shift = (i.astype(f) * cols_per - 1) * jnp.asarray(cfg0.tile_size, f)
+        # [H, cols_per + H); the H columns on each side are halo (filled
+        # below).
+        shift = (i.astype(f) * cols_per - H) * jnp.asarray(cfg0.tile_size, f)
         pos_sh = st.position.at[:, 0].add(-shift)
 
         # Stray diagnostic: an in-world agent outside its shard's columns
@@ -275,11 +295,11 @@ def build_world_step(
             (pos_sh[:, 0] - jnp.asarray(x0, f))
             / jnp.asarray(cfg0.tile_size, f)
         ).astype(jnp.int32)
-        gcol = i.astype(jnp.int32) * cols_per + colf - 1
+        gcol = i.astype(jnp.int32) * cols_per + colf - H
         in_world = (gcol >= 0) & (gcol < tx)
         stray = jnp.sum(
             (st.alive & in_world
-             & ((colf < 1) | (colf > cols_per))).astype(jnp.int32)
+             & ((colf < H) | (colf >= cols_per + H))).astype(jnp.int32)
         )
 
         zp = lp_params
@@ -301,15 +321,16 @@ def build_world_step(
             .at[ord_u].set(bpos_perm)
         )
 
-        # Halo exchange: my LAST real column -> right neighbor's left
-        # halo; my FIRST real column -> left neighbor's right halo.
-        sent = jnp.zeros((col_slots, NUM_F), jnp.float32)
+        # Halo exchange: my LAST H real columns -> right neighbor's left
+        # halo; my FIRST H real columns -> left neighbor's right halo.
+        hs = H * col_slots
+        sent = jnp.zeros((hs, NUM_F), jnp.float32)
         sent = sent.at[:, ROW_PX].set(_POS_SENTINEL)
         sent = sent.at[:, ROW_PY].set(_POS_SENTINEL)
         sent = sent.at[:, ROW_ID].set(-1.0)
 
-        last_real = packed[cols_per * col_slots:(cols_per + 1) * col_slots]
-        first_real = packed[col_slots:2 * col_slots]
+        last_real = packed[cols_per * col_slots:(cols_per + H) * col_slots]
+        first_real = packed[hs:2 * hs]
         left_halo = jax.lax.ppermute(
             last_real, WORLD_AXIS, [(j, j + 1) for j in range(d - 1)]
         )
@@ -329,16 +350,168 @@ def build_world_step(
             jnp.where(right_halo[:, ROW_ID] >= 0,
                       right_halo[:, ROW_ID] + float(2 * m), -1.0)
         )
-        packed = packed.at[:col_slots].set(left_halo)
-        packed = packed.at[(cols_per + 1) * col_slots:].set(right_halo)
+        packed = packed.at[:hs].set(left_halo)
+        packed = packed.at[(cols_per + H) * col_slots:].set(right_halo)
 
         out = zanlungo_forces_bucketed(
             ext_cfg, zp, packed, interpret=config.pallas_interpret
         )
+
+        if use_spills:
+            out, vel_spill, sp_local_idx, n_sp, n_over = _patch_shard_spills(
+                st, pos_sh, rec_vel, self_pref, bucket_pos, ord_u, packed,
+                out, zp_tree, i,
+            )
+            # bucketize's dropped = bucket overflow + pack-window
+            # overflow; the patch resolves the former exactly.
+            dropped = n_over + jnp.maximum(dropped - n_sp, 0)
         safe = jnp.clip(bucket_pos, 0, ext_cfg.slots - 1)
         ok = (bucket_pos < ext_cfg.slots) & st.alive
         vel = jnp.where(ok[:, None], out[safe].astype(f), rec_vel)
+        if use_spills:
+            # Spill agents' own exact velocities.
+            vel = vel.at[sp_local_idx].set(
+                vel_spill.astype(f), mode="drop"
+            )
         return vel, occ, dropped, stray
+
+    def _patch_shard_spills(st, pos_sh, rec_vel, self_pref, bucket_pos,
+                            ord_u, packed, out, zp_tree, i):
+        """EXACT repair of bucket overflow on the world-sharded path:
+        local spills are exchanged with both neighbors (a boundary
+        hotspot's blast radius crosses shards), the merged list is
+        canonically uid-sorted, and ops/zanlungo_pallas._spill_groups
+        recomputes each spill's 3x3 neighborhood against the extended
+        block's 5x5 windows (the 2-column halos guarantee coverage).
+        Patched rows are tolerance-level (not bitwise) across device
+        counts: absent far-away spills shift summation lanes.
+
+        Returns (out', spill velocities [s_cap, 2], their local agent
+        indices [s_cap] (m for invalid), n_spill, n_beyond_cap)."""
+        from ..ops.zanlungo_pallas import _spill_groups
+
+        is_spill = st.alive & (bucket_pos >= ext_cfg.slots)
+        n_spill = jnp.sum(is_spill.astype(jnp.int32), dtype=jnp.int32)
+        rank = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
+        keep = is_spill & (rank < s_cap)
+        tgt = jnp.where(keep, rank, jnp.int32(s_cap))
+        sp_idx = jnp.full((s_cap,), m, jnp.int32).at[tgt].set(
+            jnp.arange(m, dtype=jnp.int32), mode="drop"
+        )
+        sp_valid = sp_idx < m
+        n_over = n_spill - jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
+        sc = jnp.clip(sp_idx, 0, m - 1)
+
+        f32 = jnp.float32
+        payload = dict(
+            pos=st.position[sc].astype(f32),  # GLOBAL coords for exchange
+            vel=st.velocity[sc].astype(f32),
+            prefc=st.preferred_vel[sc].astype(f32),
+            spref=self_pref[sc].astype(f32),
+            prio=st.priority[sc].astype(f32),
+            eye=st.eyesight[sc].astype(f32),
+            rec=rec_vel[sc].astype(f32),
+            uid=jnp.where(sp_valid, st.uid[sc], _I32_MAX).astype(f32),
+            valid=sp_valid.astype(f32),
+        )
+        perm_r = [(j, j + 1) for j in range(d - 1)]
+        perm_l = [(j + 1, j) for j in range(d - 1)]
+        from_left = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, WORLD_AXIS, perm_r), payload
+        )
+        from_right = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, WORLD_AXIS, perm_l), payload
+        )
+        from_left["valid"] = from_left["valid"] * (i > 0)
+        from_right["valid"] = from_right["valid"] * (i < d - 1)
+
+        def cat(name):
+            return jnp.concatenate(
+                [payload[name], from_left[name], from_right[name]], axis=0
+            )
+
+        mvalid = jnp.concatenate([
+            payload["valid"], from_left["valid"], from_right["valid"]
+        ]) > 0
+        muid = jnp.where(mvalid, cat("uid"), jnp.float32(_I32_MAX))
+        # Local agent index rides along so own spills' outputs can be
+        # written back (neighbors' are theirs to write).
+        mlocal = jnp.concatenate([
+            sp_idx, jnp.full((2 * s_cap,), m, jnp.int32)
+        ])
+        # Canonical uid order: identical group content/order regardless
+        # of which shard evaluates a given spill's neighborhood.
+        ord_s = jnp.argsort(muid).astype(jnp.int32)
+        n_merged = 3 * s_cap
+        shift = (i.astype(f) * cols_per - H) * jnp.asarray(
+            cfg0.tile_size, f
+        )
+        mpos = cat("pos")[ord_s]
+        mpos = mpos.at[:, 0].add(-shift.astype(f32))  # ext coords
+        mvalid = mvalid[ord_s]
+        inv_tile = 1.0 / cfg0.tile_size
+        tcx = jnp.clip(jnp.floor(
+            (mpos[:, 0] - cfg0.offset[0]) * inv_tile).astype(jnp.int32),
+            0, ext_cfg.tx - 1)
+        tcy = jnp.clip(jnp.floor(
+            (mpos[:, 1] - cfg0.offset[1]) * inv_tile).astype(jnp.int32),
+            0, cfg0.ty - 1)
+        tcx = jnp.where(mvalid, tcx, 1)
+        tcy = jnp.where(mvalid, tcy, 1)
+        sp = dict(
+            pos=mpos,
+            vel=cat("vel")[ord_s],
+            prefc=cat("prefc")[ord_s],
+            spref=cat("spref")[ord_s],
+            prio=cat("prio")[ord_s],
+            eye=cat("eye")[ord_s],
+            rec=cat("rec")[ord_s],
+            # Ids past every packed (< m) and halo (< 3m) id.
+            id=jnp.where(
+                mvalid,
+                jnp.arange(n_merged, dtype=f32) + float(3 * m), -1.0
+            ),
+        )
+        def run_patch(o):
+            g_out, q_id, _q_slots = _spill_groups(
+                ext_cfg, zp_tree, packed, sp, tcx, tcy, mvalid, chunk=16
+            )
+            # Window-query outputs, written straight to their packed
+            # slots.  ROW_ID < m are MY rows; halo rows (>= m) belong to
+            # neighbors, who recompute them identically on their side.
+            win_id = q_id[:, :-1].astype(jnp.int32)
+            win_ok = (win_id >= 0) & (win_id < m)
+            tgt_slot = jnp.where(win_ok, _q_slots, jnp.int32(ext_cfg.slots))
+            o = o.at[tgt_slot.reshape(-1)].set(
+                g_out[:, :-1].reshape(-1, 2), mode="drop"
+            )
+            # Own spill rows' velocities, keyed back to local agent
+            # indices (same compacted order for both scatters).
+            sp_vel_sorted = g_out[:, -1]
+            mlocal_sorted = mlocal[ord_s]
+            own = mlocal_sorted < m
+            own_rank = jnp.where(
+                own, jnp.cumsum(own.astype(jnp.int32)) - 1, s_cap
+            )
+            vel_spill = jnp.zeros((s_cap, 2), f32).at[own_rank].set(
+                sp_vel_sorted, mode="drop"
+            )
+            own_idx = jnp.full((s_cap,), m, jnp.int32).at[own_rank].set(
+                mlocal_sorted, mode="drop"
+            )
+            return o, vel_spill, own_idx
+
+        def skip_patch(o):
+            return (o, jnp.zeros((s_cap, 2), f32),
+                    jnp.full((s_cap,), m, jnp.int32))
+
+        # The group machinery has a fixed shape cost; skip it on shards
+        # with no spill in reach (the ppermute exchange above stays
+        # unconditional — collectives must run on every shard).
+        out, vel_spill, own_idx = jax.lax.cond(
+            jnp.any(mvalid), run_patch, skip_patch, out
+        )
+        return out, vel_spill, own_idx, n_spill, n_over
 
     def migrate(st: SimState, i):
         """ppermute boundary-crossing agents to the neighboring shard."""
@@ -464,7 +637,7 @@ def build_world_step(
                     zp.force_cap.astype(jnp.float32),
                 ])
                 v, occ, dropped, stray_i = local_forces(
-                    st, vel, self_pref, z5, i
+                    st, vel, self_pref, z5, zp, i
                 )
                 max_occ = jnp.maximum(
                     max_occ, jax.lax.pmax(occ, WORLD_AXIS)

@@ -146,3 +146,99 @@ def test_world_sharded_matches_general_rollout():
     np.testing.assert_array_equal(
         np.asarray(counters.n_alive), np.asarray(c1.n_alive)
     )
+
+
+def make_hotspot_scene(capacity=512):
+    """Closed scene with a dense cluster straddling a shard boundary
+    (x = 12 of 8 x 6 m regions): bucket overflow whose blast radius
+    crosses shards — exercises the neighbor spill exchange."""
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        spill_capacity=32,
+        pallas_interpret=True,
+        dtype="float32",
+        on_truncation="ignore",
+    )
+    hl = ConstantVelocity((0.6, 0.2))
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=10.0)
+    rng = np.random.default_rng(12)
+    from rmf_crowdsim_tpu import make_state as _ms
+
+    state = _ms(cfg, seed=5)
+    n = 80
+    pos = np.zeros((capacity, 2))
+    pos[:n] = rng.uniform(3.0, 45.0, (n, 2))
+    # 40 agents across the two 3 m tiles touching the x=12 shard
+    # boundary: ~20 per tile > bucket 16, spills on BOTH sides.
+    pos[:40] = rng.uniform(0.0, 1.0, (40, 2)) * [2.0, 1.0] + [11.0, 22.0]
+    alive = np.zeros(capacity, bool)
+    alive[:n] = True
+    f = cfg.jdtype
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.where(jnp.asarray(alive), jnp.asarray(3.0, f), 0.0),
+        alive=jnp.asarray(alive),
+        uid=jnp.arange(capacity, dtype=jnp.int32),
+        hl_idx=jnp.zeros((capacity,), jnp.int32),
+        lp_idx=jnp.zeros((capacity,), jnp.int32),
+        priority=jnp.arange(capacity, dtype=f),
+        next_uid=jnp.asarray(capacity, jnp.int32),
+    )
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=None)
+    return cfg, hl, lp, params, state
+
+
+def _run_hotspot(n_devices, n_steps=8):
+    cfg, hl, lp, params, state = make_hotspot_scene()
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:n_devices]), (WORLD_AXIS,)
+    )
+    st = shard_state_by_region(cfg, mesh, state)
+    rollout = build_world_rollout(cfg, [hl], [lp], mesh)
+    st, c = rollout(params, st, 0.2, n_steps)
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    return ({int(uid[i]): pos[i] for i in np.flatnonzero(alive)},
+            jax.device_get(c))
+
+
+def test_world_sharded_boundary_hotspot_repaired():
+    """Bucket overflow at a shard boundary: the spill exchange + patch
+    keep physics exact (zero truncation) and sharding-consistent at
+    tolerance (patched rows sum in different lane orders)."""
+    a8, c8 = _run_hotspot(8)
+    assert int(np.sum(np.asarray(c8.neighbor_truncated))) == 0
+    assert int(np.max(np.asarray(c8.max_cell_occupancy))) > 16
+
+    a1, c1 = _run_hotspot(1)
+    assert int(np.sum(np.asarray(c1.neighbor_truncated))) == 0
+    assert a8.keys() == a1.keys()
+    g = np.asarray([a8[k] for k in sorted(a8)])
+    w = np.asarray([a1[k] for k in sorted(a1)])
+    np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+    # And both match the general single-device rollout.
+    cfg, hl, lp, params, state = make_hotspot_scene()
+    rollout = jax.jit(build_rollout(cfg, [hl], [lp]), static_argnums=(3,))
+    st, counters = rollout(params, state, 0.2, 8)
+    assert int(np.max(np.asarray(counters.neighbor_truncated))) == 0
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    ref = {int(uid[i]): pos[i] for i in np.flatnonzero(alive)}
+    assert ref.keys() == a1.keys()
+    r = np.asarray([ref[k] for k in sorted(ref)])
+    np.testing.assert_allclose(r, w, rtol=2e-4, atol=2e-4)
