@@ -53,10 +53,11 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         bucket_tile_size=5.3,
         use_pack_kernel=(backend == "grid_pallas"),
         # Poisson occupancy tails at this density overflow bucket 32 in
-        # ~60 of 57k tiles at 1M agents; the spill patch repairs them
+        # ~60 of 57k tiles per 1M agents; the spill patch repairs them
         # EXACTLY (ops/zanlungo_pallas.spill_patch) so the truncation
-        # assertion below holds honestly.
-        spill_capacity=128,
+        # assertion below holds honestly.  Scaled with N (tiered by live
+        # count, so oversizing costs nothing on clean steps).
+        spill_capacity=max(128, n_agents // 4096),
         dtype=dtype,
     )
 

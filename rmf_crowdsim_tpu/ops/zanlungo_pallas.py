@@ -893,7 +893,8 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     # The group machinery's cost is fixed by its static tier shape, not
     # the actual spill count — pick the smallest sufficient tier (and
     # skip entirely on clean steps, the common case).
-    tiers = sorted({min(16, s_cap), min(64, s_cap), s_cap})
+    tiers = sorted({min(16, s_cap), min(64, s_cap), min(256, s_cap),
+                    s_cap})
 
     def dispatch(i, v):
         cap = tiers[i]
