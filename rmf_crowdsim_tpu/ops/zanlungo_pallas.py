@@ -824,9 +824,9 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     from ..models.local import zanlungo_from_rows
 
     n = position.shape[0]
-    s_cap = int(spill_capacity)
-    chunk = min(int(chunk), s_cap)
-    assert s_cap % chunk == 0, "spill_capacity must divide by chunk"
+    chunk = max(1, min(int(chunk), int(spill_capacity)))
+    # Round the buffer up to a whole number of lax.map chunks.
+    s_cap = ((int(spill_capacity) + chunk - 1) // chunk) * chunk
     b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
     assert tx >= 5 and ty >= 5, (
         "spill_patch needs a >= 5x5-tile world (set spill_capacity=0 "
