@@ -211,17 +211,24 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
 
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
     sorted_tid = key[order]
-    # Rank within tile via a running-max scan over segment heads — a
-    # searchsorted over all tile ids costs ~3x an argsort on TPU, the
-    # scan is nearly free.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_head = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_tid[1:] != sorted_tid[:-1]]
+    # Rank within tile as a WINDOWED count: the sort makes same-tile
+    # rows contiguous, so counting same-tid entries among the previous
+    # ``bucket + 1`` positions equals the true rank for every in-bucket
+    # row and saturates (>= bucket) for overflow rows — exactly the
+    # information consumed below.  The bucket+1 shifted compares fuse
+    # into one elementwise pass; the associative-scan formulation this
+    # replaces cost ~26 ms at 1M (every [N]-prefix-shaped XLA op does —
+    # see DESIGN_NOTES.md).  ``rank`` saturates at bucket+1, so the
+    # occupancy diagnostic reads at most bucket+2.
+    w = cfg.bucket + 1
+    padded = jnp.concatenate(
+        [jnp.full((w,), -2, jnp.int32), sorted_tid]
     )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_head, idx, 0)
-    )
-    rank = idx - seg_start
+    rank = jnp.zeros((n,), jnp.int32)
+    for k in range(1, w + 1):
+        rank = rank + (padded[w - k:w - k + n] == sorted_tid).astype(
+            jnp.int32
+        )
     in_bucket = (sorted_tid < t_sent) & (rank < cfg.bucket)
     bpos_sorted = jnp.where(
         in_bucket, sorted_tid * jnp.int32(cfg.bucket) + rank,

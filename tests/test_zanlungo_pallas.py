@@ -137,7 +137,10 @@ def test_overflow_agents_keep_rec_vel():
         cfg, zp, pos, vel, pref, pref, prio, eye, alive, rec,
         interpret=True)
     assert int(dropped) == 4  # 12 agents, bucket 8
-    assert int(max_occ) == 12
+    # The occupancy diagnostic saturates at bucket + 2 (windowed rank —
+    # overflow membership stays exact, the count reads "bucket+2 or
+    # more").
+    assert int(max_occ) == cfg.bucket + 2
     got = np.asarray(got)
     # The 4 overflow agents (rank >= bucket == 8) pass rec through.
     np.testing.assert_allclose(got[8:], np.asarray(rec)[8:])
