@@ -117,6 +117,16 @@ class SimConfig:
     # the patch (overflow then truncates, loudly).  Overruns surface
     # through neighbor_truncated.
     spill_capacity: int = 128
+    # Keep agent state tile-sorted across steps (grid_pallas backend
+    # only): each step re-sorts the whole SoA state by supertile with ONE
+    # lax.sort-with-payloads (~30 ms at 1M), letting bucketize skip its
+    # argsort + feature gather + inverse scatter (~90 ms of XLA
+    # permutation ops — the measured per-element addressing floor,
+    # DESIGN_NOTES.md).  Physics is identical up to f32 summation order
+    # (candidate lanes tie-break by previous-step row instead of agent
+    # index); agent identity is ``uid``, slot indices are not stable
+    # across steps (they never were part of the public API).
+    presort: bool = False
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation

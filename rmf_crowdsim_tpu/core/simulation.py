@@ -287,10 +287,43 @@ class Simulation:
             self._step_key = registry_key
         self._dirty = False
 
+    def _has_custom_generators(self) -> bool:
+        from ..models.source_sink import GEN_CUSTOM, GEN_MONOTONIC, GEN_POISSON
+
+        return any(
+            getattr(s.crowd_generator, "kind", GEN_CUSTOM)
+            not in (GEN_MONOTONIC, GEN_POISSON)
+            for s in self._sources
+        )
+
+    def _refresh_custom_counts(self, dt: float) -> None:
+        """Call each GEN_CUSTOM generator's ``get_number_to_spawn(dt)``
+        (the reference trait, source_sink.rs:30-33) and store the counts in
+        the stacked params for the device spawn phase."""
+        from ..models.source_sink import GEN_CUSTOM, GEN_MONOTONIC, GEN_POISSON
+
+        sp = self._params.sources
+        counts = np.zeros((len(self._sources),), np.int32)
+        any_custom = False
+        for i, s in enumerate(self._sources):
+            g = s.crowd_generator
+            if getattr(g, "kind", GEN_CUSTOM) in (GEN_MONOTONIC, GEN_POISSON):
+                continue
+            any_custom = True
+            counts[i] = int(g.get_number_to_spawn(dt))
+        if any_custom:
+            self._params = SimParams(
+                hl=self._params.hl,
+                lp=self._params.lp,
+                sources=sp.replace(custom_count=jnp.asarray(counts)),
+            )
+
     def step(self, dt: float) -> None:
         """Run one simulation step of ``dt`` seconds (lib.rs:195-383)."""
         if self._dirty or self._step_fn is None:
             self._rebuild()
+        if self._params.sources is not None:
+            self._refresh_custom_counts(dt)
         # Snapshot uids before the step: destroyed events must report the
         # uid that died, and listeners read them after the state update.
         want_events = len(self._event_listeners) > 0
@@ -322,6 +355,29 @@ class Simulation:
         :class:`RolloutCounters` either way."""
         if self._dirty or self._step_fn is None:
             self._rebuild()
+        if self._has_custom_generators():
+            # Custom generators are host callbacks; a lax.scan cannot call
+            # back into Python mid-rollout, so fall back to per-step
+            # stepping (documented restriction — built-in Poisson/Monotonic
+            # generators keep the fast scanned path).
+            from .step import RolloutCounters
+
+            rows = []
+            for _ in range(int(n_steps)):
+                self.step(dt)
+                ev = self.last_events
+                rows.append((
+                    int(self.state.num_alive),
+                    int(jnp.sum(ev.spawned.astype(jnp.int32))),
+                    int(jnp.sum(ev.destroyed.astype(jnp.int32))),
+                    int(jnp.sum(ev.waypoint_reached.astype(jnp.int32))),
+                    int(ev.spawn_dropped),
+                    int(jnp.sum(ev.out_of_bounds.astype(jnp.int32))),
+                    int(ev.max_cell_occupancy),
+                    int(ev.neighbor_truncated),
+                ))
+            cols = [jnp.asarray(c, jnp.int32) for c in zip(*rows)]
+            return RolloutCounters(*cols)
         want_events = len(self._event_listeners) > 0
         cache = "_event_rollout_fn" if want_events else "_rollout_fn"
         key_attr = "_event_rollout_key" if want_events else "_rollout_key"
@@ -429,6 +485,22 @@ class Simulation:
     # -- spatial queries (the reference's public SpatialIndex surface,
     #    spatial_index.rs:4-14) -----------------------------------------------
 
+    def _knn_binning(self):
+        """Grid binning of the current state, cached until the state
+        changes (every mutation replaces ``self.state``, so object
+        identity is the cache key) — repeated queries within a step share
+        one binning, like the reference's incrementally-maintained hash
+        (location_hash_2d.rs:126-149)."""
+        from ..ops.grid import bin_agents
+
+        cached = getattr(self, "_knn_cache", None)
+        if cached is not None and cached[0] is self.state:
+            return cached[1]
+        b = bin_agents(self.config.grid, self.state.position,
+                       self.state.alive)
+        self._knn_cache = (self.state, b)
+        return b
+
     def get_neighbours_in_radius(self, radius: float, point) -> List[int]:
         """Agent ids strictly within ``radius`` of ``point``
         (location_hash_2d.rs:240-258 semantics: strict <)."""
@@ -455,32 +527,32 @@ class Simulation:
         (and the small-N / no-grid default)."""
         point_j = jnp.asarray(point, self.config.jdtype)
         if self.config.grid is not None and self.config.capacity >= 4096:
-            from ..ops.grid import bin_agents
-            from ..ops.neighbors import nearest_neighbors_grid
+            # One traced computation: binning reused across queries within
+            # a step (rebuilt only when state changed), ring escalation as
+            # a device-side lax.cond ladder — no per-query re-bin, no
+            # retracing per ring (the reference's scan is incremental the
+            # same way, location_hash_2d.rs:151-238).
+            from ..ops.neighbors import nearest_neighbors_tiered
 
-            grid = self.config.grid
-            binning = bin_agents(grid, self.state.position, self.state.alive)
-            ring = max(1, grid.window_radius(self.config.max_eyesight))
-            max_dim = max(grid.nx, grid.ny)
-            while True:
-                idx, valid, overflow = nearest_neighbors_grid(
-                    grid, binning, self.state.position, self.state.alive,
-                    n, point_j, ring,
-                )
-                idx_np, valid_np = np.asarray(idx), np.asarray(valid)
-                if int(overflow) == 0 and bool(valid_np.all()):
-                    # Exactness: the k-th hit must be closer than the
-                    # window guarantees coverage for.
-                    kth = float(jnp.linalg.norm(
-                        self.state.position[idx_np[-1]] - point_j
-                    ))
-                    if kth < ring * grid.cell_size:
-                        uid = np.asarray(self.state.uid)
-                        return [int(uid[i])
-                                for i, v in zip(idx_np, valid_np) if v]
-                if ring >= max_dim:
-                    break
-                ring = min(max_dim, ring * 2)
+            binning = self._knn_binning()
+            if not hasattr(self, "_knn_fns"):
+                self._knn_fns = {}
+            fn = self._knn_fns.get(n)
+            if fn is None:
+                grid = self.config.grid
+
+                def knn(starts, order, pos, alive, pt, _k=n, _grid=grid):
+                    return nearest_neighbors_tiered(
+                        _grid, starts, order, pos, alive, _k, pt
+                    )
+
+                fn = jax.jit(knn)
+                self._knn_fns[n] = fn
+            idx, valid = fn(binning.starts, binning.order,
+                            self.state.position, self.state.alive, point_j)
+            uid = np.asarray(self.state.uid)
+            idx, valid = np.asarray(idx), np.asarray(valid)
+            return [int(uid[i]) for i, v in zip(idx, valid) if v]
 
         from ..ops.neighbors import nearest_neighbors
 

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..models.source_sink import GEN_POISSON, SourceParams
+from ..models.source_sink import GEN_CUSTOM, GEN_POISSON, SourceParams
 from ..ops import grid as grid_ops
 from ..ops import neighbors as nbr_ops
 from .config import BACKEND_BRUTE, BACKEND_GRID, BACKEND_GRID_PALLAS, SimConfig
@@ -81,6 +81,11 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     mono = jnp.floor(rt + 0.5).astype(jnp.int32)
     pois = jax.random.poisson(key, rt.astype(jnp.float32)).astype(jnp.int32)
     n_requested = jnp.where(sp.gen_kind == GEN_POISSON, pois, mono)
+    # Custom host generators (source_sink.rs:30-33 trait parity): the host
+    # called get_number_to_spawn(dt) and stored the result per source.
+    n_requested = jnp.where(
+        sp.gen_kind == GEN_CUSTOM, sp.custom_count, n_requested
+    )
     n_requested = jnp.where(sp.active, n_requested, 0)
 
     # Clearance gate against pre-spawn state: any alive agent strictly
@@ -186,6 +191,15 @@ def build_step(
                     bucket_cfg, tx=(bucket_cfg.tx // d + 1) * d
                 )
 
+    # Tile-sorted state (see the presort block in step()): grid_pallas
+    # only, and not under domain decomposition (the mesh path keeps its
+    # own per-shard ordering).
+    presort = bool(
+        getattr(config, "presort", False)
+        and bucket_cfg is not None
+        and world_mesh is None
+    )
+
     def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
         if config.neighbor_backend == BACKEND_BRUTE:
             return nbr_ops.brute_neighbors(state.position, state.eyesight, state.alive)
@@ -213,6 +227,42 @@ def build_step(
         else:
             spawned = jnp.zeros((n,), jnp.bool_)
             spawn_dropped = jnp.zeros((), jnp.int32)
+
+        # ---- Presort: keep state tile-sorted (config.presort) ----------
+        # One lax.sort with the whole SoA state as payloads (~30 ms at 1M)
+        # replaces bucketize's argsort + feature gather + inverse scatter
+        # (~90 ms of per-element-addressing-bound XLA permutation ops,
+        # DESIGN_NOTES.md).  Runs AFTER spawn so new agents are in order;
+        # the spawned mask rides along as a payload.  Slot indices are not
+        # stable across steps (identity is uid); f32 force-sum order
+        # changes tie-breaks only.
+        if presort:
+            from ..ops.zanlungo_pallas import tile_key
+
+            tkey = tile_key(bucket_cfg, state.position, state.alive)
+            res = jax.lax.sort(
+                (
+                    tkey,
+                    state.position[:, 0], state.position[:, 1],
+                    state.velocity[:, 0], state.velocity[:, 1],
+                    state.preferred_vel[:, 0], state.preferred_vel[:, 1],
+                    state.next_waypoint, state.eyesight, state.alive,
+                    state.uid, state.source_id, state.hl_idx,
+                    state.lp_idx, state.route_id, state.route_wp,
+                    state.priority, spawned,
+                ),
+                num_keys=1, is_stable=True,
+            )
+            (_, px, py, vx, vy, fx, fy, nwp, eye, al, uidc, sid, hli,
+             lpi, rid, rwp, prio, spawned) = res
+            state = state.replace(
+                position=jnp.stack([px, py], axis=-1),
+                velocity=jnp.stack([vx, vy], axis=-1),
+                preferred_vel=jnp.stack([fx, fy], axis=-1),
+                next_waypoint=nwp, eyesight=eye, alive=al, uid=uidc,
+                source_id=sid, hl_idx=hli, lp_idx=lpi, route_id=rid,
+                route_wp=rwp, priority=prio,
+            )
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
         # High-level pass (lib.rs:263-273): vel starts at zero; a planner
@@ -255,6 +305,7 @@ def build_step(
                         world_mesh=world_mesh,
                         use_pack_kernel=config.use_pack_kernel,
                         spill_capacity=config.spill_capacity,
+                        presorted=presort,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped

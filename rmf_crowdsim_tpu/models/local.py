@@ -392,7 +392,8 @@ class Zanlungo(LocalPlanner):
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
-                   use_pack_kernel: bool = False, spill_capacity: int = 0):
+                   use_pack_kernel: bool = False, spill_capacity: int = 0,
+                   presorted: bool = False):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -416,5 +417,5 @@ class Zanlungo(LocalPlanner):
             bucket_cfg, params, state.position, state.velocity, self_pref,
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
-            spill_capacity=spill_capacity,
+            spill_capacity=spill_capacity, presorted=presorted,
         )

@@ -21,6 +21,13 @@ from flax import struct
 
 GEN_MONOTONIC = 0
 GEN_POISSON = 1
+# Custom host-side generator: any object with ``get_number_to_spawn(dt)``
+# (the reference's CrowdGenerator trait, source_sink.rs:30-33).  The host
+# step() path calls it each step and feeds the count through
+# ``SourceParams.custom_count``; scanned rollouts (run()/build_rollout)
+# cannot call back into Python mid-scan, so they support only the two
+# built-in kinds (Simulation.run falls back to per-step stepping).
+GEN_CUSTOM = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +92,9 @@ class SourceParams:
     # Active mask so sources can be removed without retracing
     # (remove_source_sink, lib.rs:164-168).
     active: jax.Array  # [S] bool
+    # Host-computed spawn counts for GEN_CUSTOM generators, refreshed by
+    # the host before each step (ignored for the built-in kinds).
+    custom_count: jax.Array  # [S] int32
 
 
 def stack_source_params(
@@ -107,17 +117,37 @@ def stack_source_params(
         lr = jnp.asarray(list(leg_routes[i]) + [-1] * (w - len(leg_routes[i])),
                          jnp.int32)
         leg = leg.at[i].set(lr)
+    # Duck-typed generator classification (the reference is generic over
+    # ``impl CrowdGenerator``, source_sink.rs:30-33): objects exposing the
+    # built-in ``kind``/``rate`` attributes run fully on-device; anything
+    # else with ``get_number_to_spawn(dt)`` is a GEN_CUSTOM host generator.
+    kinds, rates = [], []
+    for ss in sources:
+        g = ss.crowd_generator
+        kind = getattr(g, "kind", GEN_CUSTOM)
+        if kind not in (GEN_MONOTONIC, GEN_POISSON):
+            kind = GEN_CUSTOM
+        if kind == GEN_CUSTOM and not callable(
+            getattr(g, "get_number_to_spawn", None)
+        ):
+            raise TypeError(
+                f"crowd generator {g!r} has neither the built-in "
+                f"kind/rate attributes nor get_number_to_spawn(dt)"
+            )
+        kinds.append(kind)
+        rates.append(float(getattr(g, "rate", 0.0)))
     return SourceParams(
         source=jnp.asarray([ss.source for ss in sources], dtype),
         waypoints=waypoints,
         n_waypoints=jnp.asarray([len(ss.waypoints) for ss in sources], jnp.int32),
         radius_sink=jnp.asarray([ss.radius_sink for ss in sources], dtype),
-        rate=jnp.asarray([ss.crowd_generator.rate for ss in sources], dtype),
-        gen_kind=jnp.asarray([ss.crowd_generator.kind for ss in sources], jnp.int32),
+        rate=jnp.asarray(rates, dtype),
+        gen_kind=jnp.asarray(kinds, jnp.int32),
         loop_forever=jnp.asarray([ss.loop_forever for ss in sources], jnp.bool_),
         eyesight=jnp.asarray([ss.agent_eyesight_range for ss in sources], dtype),
         hl_idx=jnp.asarray(hl_indices, jnp.int32),
         lp_idx=jnp.asarray(lp_indices, jnp.int32),
         leg_route=leg,
         active=jnp.ones((s,), jnp.bool_),
+        custom_count=jnp.zeros((s,), jnp.int32),
     )

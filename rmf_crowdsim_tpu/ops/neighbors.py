@@ -166,3 +166,58 @@ def nearest_neighbors_grid(
     d = jnp.where(cand_ok & alive[cand], d, jnp.inf)
     neg_top, sel = jax.lax.top_k(-d, k)
     return cand[sel].astype(jnp.int32), jnp.isfinite(-neg_top), overflow
+
+
+def nearest_neighbors_tiered(
+    grid,                 # core.config.GridConfig (static)
+    starts: jax.Array,    # [n_cells + 1] int32 — from GridBinning
+    order: jax.Array,     # [N] int32
+    position: jax.Array,  # [N, 2]
+    alive: jax.Array,     # [N] bool
+    k: int,               # static
+    point: jax.Array,     # [2]
+    rings=(1, 2, 4, 8),   # static escalation ladder
+):
+    """Exact kNN in ONE traced computation: a ``lax.cond`` chain over a
+    static ring ladder (the device analog of the reference's incremental
+    ring expansion, location_hash_2d.rs:151-238), ending in the exact
+    O(N) brute query.  Each tier's window result is used only when
+    provably sufficient — all ``k`` hits valid, the k-th strictly inside
+    the ring's guaranteed-coverage radius, and no window cell overflowed
+    the per-cell read budget — otherwise the next tier runs.  Only the
+    selected tier executes at runtime (lax.cond), so the common case
+    costs one small window scan; there is no host round-trip and no
+    retracing between tiers.
+
+    Returns (idx[k] int32, valid[k] bool), nearest first.
+    """
+    from .grid import GridBinning
+
+    binning = GridBinning(order, None, starts, None, None, None)
+    cell = jnp.asarray(grid.cell_size, position.dtype)
+
+    def brute_tier():
+        idx, valid = nearest_neighbors(position, alive, k, point)
+        return idx, valid
+
+    def make_tier(i):
+        if i == len(rings):
+            return lambda: brute_tier()
+        ring = rings[i]
+
+        def tier():
+            idx, valid, overflow = nearest_neighbors_grid(
+                grid, binning, position, alive, k, point, ring
+            )
+            kth = jnp.linalg.norm(position[idx[-1]] - point)
+            good = (
+                jnp.all(valid)
+                & (kth < ring * cell)
+                & (overflow == 0)
+            )
+            return jax.lax.cond(good, lambda: (idx, valid),
+                                make_tier(i + 1))
+
+        return tier
+
+    return make_tier(0)()

@@ -180,14 +180,36 @@ class BucketConfig:
 # ---------------------------------------------------------------------------
 
 
+def tile_key(cfg: BucketConfig, position, alive):
+    """Supertile sort key per agent: flat tile id, dead agents get the
+    ``n_tiles`` sentinel so they sort last.  This is THE key the presorted
+    step (core/step.py ``presort``) must order state by for
+    ``bucketize(presorted=True)`` to be valid."""
+    inv_tile = 1.0 / cfg.tile_size
+    rel_x = (position[:, 0] - cfg.offset[0]) * inv_tile
+    rel_y = (position[:, 1] - cfg.offset[1]) * inv_tile
+    tcx = jnp.clip(jnp.floor(rel_x).astype(jnp.int32), 0, cfg.tx - 1)
+    tcy = jnp.clip(jnp.floor(rel_y).astype(jnp.int32), 0, cfg.ty - 1)
+    tid = tcx * jnp.int32(cfg.ty) + tcy
+    return jnp.where(alive, tid, jnp.int32(cfg.n_tiles))
+
+
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
               use_pack_kernel: bool = False, interpret: bool = False,
-              extra=None):
+              extra=None, presorted: bool = False):
     """Pack agent features into the bucketed layout.
 
     ``extra``: optional [N] f32 carried in feature row 14 (used by the
     persistent rollout to keep agent uids across slot-space rebins).
+
+    ``presorted``: the caller guarantees agents are already ordered by
+    :func:`tile_key` (the presorted step keeps state that way with one
+    sort-with-payloads per step, ~30 ms at 1M vs ~90 for this function's
+    argsort + feature gather + inverse scatter — the measured XLA
+    permutation-op floor, DESIGN_NOTES.md).  The sort, the feature-row
+    gather AND the inverse scatter are then all skipped: ``bucket_pos``
+    comes back in (sorted) agent order directly and is monotone.
 
     Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
     for dropped/dead agents), max_tile_occupancy [] int32, dropped []
@@ -200,17 +222,14 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
     t_sent = jnp.int32(cfg.n_tiles)
-    inv_tile = 1.0 / cfg.tile_size
 
-    rel_x = (position[:, 0] - cfg.offset[0]) * inv_tile
-    rel_y = (position[:, 1] - cfg.offset[1]) * inv_tile
-    tcx = jnp.clip(jnp.floor(rel_x).astype(jnp.int32), 0, cfg.tx - 1)
-    tcy = jnp.clip(jnp.floor(rel_y).astype(jnp.int32), 0, cfg.ty - 1)
-    tid = tcx * jnp.int32(cfg.ty) + tcy
-    key = jnp.where(alive, tid, t_sent)
-
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    sorted_tid = key[order]
+    key = tile_key(cfg, position, alive)
+    if presorted:
+        order = None
+        sorted_tid = key
+    else:
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        sorted_tid = key[order]
     # Rank within tile as a WINDOWED count: the sort makes same-tile
     # rows contiguous, so counting same-tid entries among the previous
     # ``bucket + 1`` positions equals the true rank for every in-bucket
@@ -261,7 +280,7 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         ],
         axis=-1,
     )  # [N, NUM_F]
-    feat_sorted = feat[order]  # row gather
+    feat_sorted = feat if presorted else feat[order]  # row gather
 
     if use_pack_kernel:
         # MXU one-hot pack kernel (ops/pack_pallas.py): replaces the XLA
@@ -283,9 +302,12 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         packed_t = jnp.broadcast_to(sentinel, (cfg.slots, NUM_F))
         packed_t = packed_t.at[bpos_sorted].set(feat_sorted, mode="drop")
 
-    bucket_pos = (
-        jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
-    )
+    if presorted:
+        bucket_pos = bpos_sorted  # agent order == sorted order; monotone
+    else:
+        bucket_pos = (
+            jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
+        )
     max_occ = jnp.max(
         jnp.where(sorted_tid < t_sent, rank + 1, 0)
     ).astype(jnp.int32)
@@ -1062,7 +1084,7 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
-                   spill_capacity: int = 0):
+                   spill_capacity: int = 0, presorted: bool = False):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -1079,7 +1101,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     packed_t, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
-        interpret=interpret,
+        interpret=interpret, presorted=presorted,
     )
     zparams4 = jnp.stack([
         zp.agent_scale.astype(jnp.float32),

