@@ -24,6 +24,12 @@ import jax.numpy as jnp
 BACKEND_BRUTE = "brute"
 BACKEND_GRID = "grid"
 BACKEND_GRID_PALLAS = "grid_pallas"
+# User-supplied backend: the TPU-native analog of implementing the
+# reference's SpatialIndex trait (spatial_index.rs:4-14).  Instead of a
+# stateful add_or_update/query object, a custom backend is a pure
+# function ``neighbor_fn(state) -> ops.neighbors.NeighborSet`` passed to
+# build_step/build_rollout/Simulation; it runs inside the jitted step.
+BACKEND_CUSTOM = "custom"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,9 +169,13 @@ class SimConfig:
             BACKEND_BRUTE,
             BACKEND_GRID,
             BACKEND_GRID_PALLAS,
+            BACKEND_CUSTOM,
         ):
             raise ValueError(f"unknown neighbor backend {self.neighbor_backend!r}")
-        if self.neighbor_backend != BACKEND_BRUTE and self.grid is None:
+        if (
+            self.neighbor_backend not in (BACKEND_BRUTE, BACKEND_CUSTOM)
+            and self.grid is None
+        ):
             raise ValueError("grid backends require a GridConfig")
         if self.on_truncation not in ("raise", "ignore"):
             raise ValueError(

@@ -361,7 +361,17 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             n_exceed = jnp.sum(exceed.astype(jnp.int32), dtype=jnp.int32)
             n_free_spill = jnp.sum((~alive_s).astype(jnp.int32),
                                    dtype=jnp.int32)
-            need_rebin = n_exceed > jnp.minimum(n_free_spill, s_cap)
+            n_live_s = s_cap - n_free_spill
+            # Eviction policy (round-3 correction): the per-step spill
+            # patch's cost is set by its TIER (the smallest cap >= live
+            # spill count), while a full rebin is only ~15-18 ms real at
+            # 1M (the round-2 "~70 ms" was the dispatch-RTT artifact,
+            # DESIGN_NOTES.md).  Letting evictions fill the buffer to
+            # s_cap pushed every subsequent step onto the top patch tier
+            # — the measured 160 ms/step.  So: evict only while the
+            # buffer stays within the cheap tier; rebin otherwise.
+            evict_ok = (n_exceed + n_live_s) <= jnp.int32(min(64, s_cap))
+            need_rebin = (n_exceed > 0) & ~evict_ok
 
             def do_rebin(args):
                 p, sp_ = args

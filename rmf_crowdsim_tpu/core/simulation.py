@@ -76,8 +76,17 @@ class AgentView:
 
 
 class Simulation:
-    def __init__(self, config: SimConfig, seed: int = 0):
+    def __init__(self, config: SimConfig, seed: int = 0, neighbor_fn=None):
+        """``neighbor_fn``: required iff ``config.neighbor_backend ==
+        "custom"`` — a pure jittable ``(state) -> NeighborSet`` (the
+        SpatialIndex-trait extension point, spatial_index.rs:4-14; see
+        core/step.build_step)."""
         self.config = config
+        self.neighbor_fn = neighbor_fn
+        if config.neighbor_backend == "custom" and neighbor_fn is None:
+            raise ValueError(
+                "neighbor_backend='custom' requires a neighbor_fn"
+            )
         self.state: SimState = make_state(config, seed)
         self._hl_planners: List[object] = []
         self._lp_planners: List[object] = []
@@ -281,7 +290,8 @@ class Simulation:
             self, "_step_key", None
         ):
             self._step_fn = jax.jit(
-                build_step(self.config, self._hl_planners, self._lp_planners),
+                build_step(self.config, self._hl_planners, self._lp_planners,
+                           neighbor_fn=self.neighbor_fn),
                 donate_argnums=(1,),
             )
             self._step_key = registry_key
@@ -393,6 +403,7 @@ class Simulation:
                         self.config.event_stream_capacity
                         if want_events else 0
                     ),
+                    neighbor_fn=self.neighbor_fn,
                 ),
                 static_argnums=(3,), donate_argnums=(1,),
             ))

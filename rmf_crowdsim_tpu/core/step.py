@@ -44,7 +44,13 @@ from flax import struct
 from ..models.source_sink import GEN_CUSTOM, GEN_POISSON, SourceParams
 from ..ops import grid as grid_ops
 from ..ops import neighbors as nbr_ops
-from .config import BACKEND_BRUTE, BACKEND_GRID, BACKEND_GRID_PALLAS, SimConfig
+from .config import (
+    BACKEND_BRUTE,
+    BACKEND_CUSTOM,
+    BACKEND_GRID,
+    BACKEND_GRID_PALLAS,
+    SimConfig,
+)
 from .state import SimState, StepEvents
 
 
@@ -152,6 +158,7 @@ def build_step(
     hl_planners: Sequence[Any],
     lp_planners: Sequence[Any],
     world_mesh=None,
+    neighbor_fn=None,
 ):
     """Construct ``step(params, state, dt) -> (state, events)``.
 
@@ -163,9 +170,20 @@ def build_step(
     ``world_mesh``: optional jax Mesh with axis ``"world_x"``; the
     grid_pallas force pass then runs domain-decomposed across it
     (parallel/domain.py) — cfg.tx must divide the mesh size.
+
+    ``neighbor_fn``: required when ``config.neighbor_backend ==
+    "custom"`` — a pure function ``(state) -> NeighborSet`` traced into
+    the jitted step; the TPU-native replacement for implementing the
+    reference's SpatialIndex trait (spatial_index.rs:4-14).  It must be
+    jittable with static shapes and set ``NeighborSet.truncated``
+    honestly (any silently dropped candidate is a physics divergence).
     """
     hl_planners = tuple(hl_planners)
     lp_planners = tuple(lp_planners)
+    if config.neighbor_backend == BACKEND_CUSTOM and neighbor_fn is None:
+        raise ValueError(
+            "neighbor_backend='custom' requires a neighbor_fn"
+        )
 
     if config.neighbor_backend == BACKEND_GRID:
         window = config.grid.window_radius(config.max_eyesight)
@@ -201,6 +219,8 @@ def build_step(
     )
 
     def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
+        if config.neighbor_backend == BACKEND_CUSTOM:
+            return neighbor_fn(state)
         if config.neighbor_backend == BACKEND_BRUTE:
             return nbr_ops.brute_neighbors(state.position, state.eyesight, state.alive)
         return grid_ops.grid_neighbors(
@@ -475,6 +495,7 @@ def build_rollout(
     hl_planners: Sequence[Any],
     lp_planners: Sequence[Any],
     event_capacity: int = 0,
+    neighbor_fn=None,
 ):
     """Construct ``rollout(params, state, dt, n_steps) -> (state, ys)``:
     ``n_steps`` simulation steps under one ``lax.scan`` — the multi-step
@@ -485,8 +506,9 @@ def build_rollout(
     (cheap anonymous per-step summaries).  > 0: ``ys`` is an
     :class:`EventStream` carrying exact per-step uid/position records (up
     to ``event_capacity`` per kind per step) for host-side EventListener
-    replay."""
-    step = build_step(config, hl_planners, lp_planners)
+    replay.  ``neighbor_fn``: see :func:`build_step`."""
+    step = build_step(config, hl_planners, lp_planners,
+                      neighbor_fn=neighbor_fn)
     k = int(event_capacity)
 
     def rollout(params: SimParams, state: SimState, dt, n_steps: int):

@@ -14,9 +14,9 @@ piece of the per-step bucketize.  This kernel replaces it:
 - Placement is a one-hot matmul on the MXU:
   ``region[G, F] = sum_c onehot_c[G, 256] @ chunk_c[F, 256].T``
   via ``dot_general`` contracting the row dim — no transposes needed.
-  0/1 weights with ``Precision.HIGHEST`` (full bf16x3 f32 decomposition)
-  make the placement BITWISE exact; the default single-pass MXU f32
-  truncates mantissas.
+  BITWISE exact in 3 DEFAULT passes: 0/1 weights are lossless in bf16
+  and the data operand splits into three exactly-bf16 8-bit significand
+  slices (see the kernel body; replaces the earlier 6-pass HIGHEST).
 - Row 15 of every real feature row is 1.0, so ``region[:, 15]`` counts
   hits; empty slots blend in the sentinel row algebraically:
   ``region += (1 - region[:, 15:16]) * sentinel_row``.
@@ -102,15 +102,29 @@ def _make_kernel(n_pad: int, slots: int):
                     jnp.int32, (GROUP, 1), 0
                 ).astype(jnp.float32)
                 onehot = (iota == local).astype(jnp.float32)  # [GROUP, CHUNK]
-                # region += onehot @ rows_t.T.  Precision.HIGHEST forces
-                # the full bf16x3 f32 decomposition on the MXU: with 0/1
-                # weights the placement is then BITWISE exact (the default
-                # single-pass bf16 multiply truncates mantissas).
-                region[...] = region[...] + jax.lax.dot_general(
-                    onehot, rows_t,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                # region += onehot @ rows_t.T, BITWISE exact in 3 DEFAULT
+                # MXU passes: onehot is 0/1 (lossless bf16), and rows_t
+                # splits into three exactly-bf16 terms (8-bit significand
+                # slices of the 24-bit f32 significand); the one-hot
+                # selects a single column per output so (hi + mid) + lo
+                # reconstructs the f32 value exactly.  Replaces the
+                # HIGHEST two-sided 6-pass decomposition at half the MXU
+                # work — identical output (parity-tested vs XLA scatter).
+                hi = rows_t.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = rows_t - hi
+                mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                lo = r1 - mid
+
+                def dot_d(b):
+                    return jax.lax.dot_general(
+                        onehot, b,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                region[...] = region[...] + (
+                    (dot_d(hi) + dot_d(mid)) + dot_d(lo)
                 )
 
             return 0

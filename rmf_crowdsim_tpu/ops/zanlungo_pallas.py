@@ -44,8 +44,9 @@ Correctness notes:
   at world edges, so no pair is ever double-counted.
 - Self-pairs are excluded by slot-id equality (slot ids are exact in f32
   up to 2^24 — capacity is asserted below that).
-- Compaction matmuls use 0/1 weights at ``Precision.HIGHEST`` (full
-  bf16x3 decomposition): the gathered rows are BITWISE copies.
+- Compaction matmuls use 0/1 weights with an exact 3-term bf16 split of
+  the data operand (3 DEFAULT MXU passes): the gathered rows are BITWISE
+  copies; the pure-0/1 rank matmul is exact in ONE DEFAULT pass.
 - The force math mirrors models/local.py line for line (which itself
   carries the zanlungo.rs citations); the jnp version is the oracle in
   tests/test_zanlungo_pallas.py.
@@ -180,15 +181,22 @@ class BucketConfig:
 # ---------------------------------------------------------------------------
 
 
-def tile_key(cfg: BucketConfig, position, alive):
+def tile_key(cfg: BucketConfig, position, alive, col_clip=None):
     """Supertile sort key per agent: flat tile id, dead agents get the
     ``n_tiles`` sentinel so they sort last.  This is THE key the presorted
     step (core/step.py ``presort``) must order state by for
-    ``bucketize(presorted=True)`` to be valid."""
+    ``bucketize(presorted=True)`` to be valid.
+
+    ``col_clip``: optional (lo, hi) bounds for the tile COLUMN index
+    (default (0, tx - 1) — the single-device edge clamp that matches
+    ops/grid.py:48-52).  The world-sharded engine narrows this so
+    out-of-world agents bin into the world's edge column rather than a
+    shard-local halo column (parallel/worldstep.py)."""
     inv_tile = 1.0 / cfg.tile_size
     rel_x = (position[:, 0] - cfg.offset[0]) * inv_tile
     rel_y = (position[:, 1] - cfg.offset[1]) * inv_tile
-    tcx = jnp.clip(jnp.floor(rel_x).astype(jnp.int32), 0, cfg.tx - 1)
+    lo, hi = col_clip if col_clip is not None else (0, cfg.tx - 1)
+    tcx = jnp.clip(jnp.floor(rel_x).astype(jnp.int32), lo, hi)
     tcy = jnp.clip(jnp.floor(rel_y).astype(jnp.int32), 0, cfg.ty - 1)
     tid = tcx * jnp.int32(cfg.ty) + tcy
     return jnp.where(alive, tid, jnp.int32(cfg.n_tiles))
@@ -197,7 +205,7 @@ def tile_key(cfg: BucketConfig, position, alive):
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
               use_pack_kernel: bool = False, interpret: bool = False,
-              extra=None, presorted: bool = False):
+              extra=None, presorted: bool = False, col_clip=None):
     """Pack agent features into the bucketed layout.
 
     ``extra``: optional [N] f32 carried in feature row 14 (used by the
@@ -218,12 +226,18 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     window exceeded the kernel's streaming capacity.  Dropped agents keep
     their recommended velocity and vanish as force candidates — silent
     physics truncation, so callers must surface any nonzero count.)
+
+    ``col_clip``: optional tile-column clip bounds for BINNING only (the
+    packed position features keep ``position``) — see :func:`tile_key`.
+    Used by the world-sharded engine to clamp out-of-world agents into
+    the world's edge column exactly like the single-device tile clip
+    while shard-local halo columns exist.
     """
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
     t_sent = jnp.int32(cfg.n_tiles)
 
-    key = tile_key(cfg, position, alive)
+    key = tile_key(cfg, position, alive, col_clip=col_clip)
     if presorted:
         order = None
         sorted_tid = key
@@ -446,19 +460,23 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     sin_theta = jnp.minimum(jnp.abs(perp_x * dy - perp_y * dx), 1.0)
     theta = _asin01(sin_theta)
     t_s = weight - 1.0
-    inv_sin = 1.0 / jnp.where(sin_theta > 0, sin_theta, 1.0)
     # (1-t)theta and t*theta both lie in [0, pi/2]: t in (0, 1] whenever
     # the slerp branch is live (weight in (1, 2], zanlungo.rs:152).
-    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI)) * inv_sin
-    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI)) * inv_sin
+    # The reference's 1/sin(theta) slerp normalization (zanlungo.rs:27)
+    # is a POSITIVE scalar on the slerped vector, and the vector is only
+    # ever consumed as a unit direction below — the factor cancels, so
+    # the [Q, C] divide is dropped (direction identical to f32 noise).
+    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI))
+    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI))
     sl_x = jnp.where(sin_theta > 0, dx * s0 + perp_x * s1, dx)
     sl_y = jnp.where(sin_theta > 0, dy * s0 + perp_y * s1, dy)
     use_slerp = (weight > 1.0) & interpolate
     dx = jnp.where(use_slerp, sl_x, dx)
     dy = jnp.where(use_slerp, sl_y, dy)
 
-    d_norm = jnp.sqrt(dx * dx + dy * dy)
-    inv_d = jnp.where(d_norm > 0, 1.0 / jnp.where(d_norm > 0, d_norm, 1.0), 0.0)
+    d2n = dx * dx + dy * dy
+    inv_d = jnp.where(d2n > 0, jax.lax.rsqrt(jnp.where(d2n > 0, d2n, 1.0)),
+                      0.0)
     ux = dx * inv_d
     uy = dy * inv_d
 
@@ -689,7 +707,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
             # a sliver of the 3*C candidate lanes, so full-width math is
             # VPU-instruction waste.  Gather the union of every query's
             # masked candidates into <= C lanes with an exact one-hot MXU
-            # matmul (0/1 weights, Precision.HIGHEST — bitwise, as
+            # matmul (0/1 weights, exact 3-term bf16 split — bitwise, as
             # ops/pack_pallas.py), then run BOTH the TTC quadratic and
             # the force math once over [sub_q, C] instead of 3x.  Union
             # overflow (> C candidates, dense hotspots) falls back to the
@@ -698,11 +716,14 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                 [jnp.any(m, axis=0, keepdims=True) for m in masks], axis=1
             ).astype(jnp.float32)                       # [1, 3C]
             # Exclusive prefix count via triangular matmul (exact integer
-            # counts in f32): rank[r] = #union lanes before r.
+            # counts in f32): rank[r] = #union lanes before r.  DEFAULT
+            # precision is EXACT here: both operands are 0/1 (lossless in
+            # bf16) and the MXU accumulates in f32 — one pass instead of
+            # HIGHEST's multi-pass f32 decomposition.
             rank = jax.lax.dot_general(
                 u, tri, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.DEFAULT,
             )                                            # [1, 3C]
             count = jnp.sum(u)
 
@@ -721,11 +742,31 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                 # [C, NUM_F], full MXU M-utilization, then .T back)
                 # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
                 # transpose outweighs the M-util gain; don't retry.
-                comp = jax.lax.dot_general(
-                    w_all, p_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                        # [NUM_F, C]
+                #
+                # EXACT 3-term bf16 split: p_t is one-hot (0/1, lossless
+                # in bf16), so only the data operand needs splitting.
+                # w = hi + mid + lo with each term exactly bf16 (8-bit
+                # significand slices of the 24-bit f32 significand);
+                # selecting one column per output lane and re-summing
+                # (hi + mid) + lo reconstructs the f32 value bitwise.
+                # 3 DEFAULT MXU passes replace HIGHEST's 6-pass two-sided
+                # decomposition at identical results.
+                def split3(wv):
+                    hi = wv.astype(jnp.bfloat16).astype(jnp.float32)
+                    r1 = wv - hi
+                    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                    return hi, mid, r1 - mid
+
+                def dot_d(a, b):
+                    return jax.lax.dot_general(
+                        a, b, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                w_hi, w_mid, w_lo = split3(w_all)
+                comp = (dot_d(w_hi, p_t) + dot_d(w_mid, p_t)) \
+                    + dot_d(w_lo, p_t)                   # [NUM_F, C]
                 # Unfilled lanes summed nothing (all-zero feature rows,
                 # position (0,0) — a real place): blend in the sentinel
                 # row so the mask below kills them.

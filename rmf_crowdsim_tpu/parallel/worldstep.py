@@ -47,10 +47,12 @@ order would perturb shard-local slot order — so this engine bucketizes
 in canonical ``(tile, uid)`` order (a uid pre-sort feeding the stable
 tile sort), making every candidate window's content AND order
 independent of slot history.  All other phases are elementwise or
-keyed by uid.  Capacity-pressure corner cases diverge from the
-single-device ``build_step``: a spawn is dropped when its *shard* is
-full (not the global array), and uids advance by requested-spawn count
-so shard-capacity drops never alias ids.
+keyed by uid.  Out-of-world agents clamp into the world's edge tile
+column on the edge shards — identical to the single-device tile clip —
+and uids advance by the psum'd COMMITTED spawn count, so the uid stream
+matches ``build_step`` exactly.  The one remaining capacity-pressure
+divergence: a spawn is dropped when its *shard* is full even if the
+global array has room (exercised by a test).
 
 Scope: ``neighbor_backend == "grid_pallas"``; local planners must be
 slot-free (``NoLocalPlan``) or provide the fused kernel (``Zanlungo``).
@@ -219,8 +221,6 @@ def build_world_step(
             blocked_local.astype(jnp.int32), WORLD_AXIS
         ) > 0
         want = (n_requested > 0) & ~blocked  # replicated
-        rank_global = jnp.cumsum(want.astype(jnp.int32)) - 1
-        new_uid = (st.next_uid + rank_global).astype(jnp.int32)
 
         own = jnp.clip(
             jnp.floor((sp.source[:, 0] - x0) / region_w).astype(jnp.int32),
@@ -233,6 +233,17 @@ def build_world_step(
         slot = slot_of_rank[jnp.clip(local_rank, 0, m - 1)]
         tgt = jnp.where(can, slot, jnp.int32(m))
 
+        # uids advance by the COMMITTED count, matching the single-device
+        # step (core/step.py): each source is owned by exactly one shard,
+        # so a psum of the per-shard commit decisions is the replicated
+        # global commit vector.  The uid stream is identical to
+        # build_step's unless a spawn drops because its *shard* (not the
+        # global array) is full — the one remaining capacity-pressure
+        # divergence (tested in tests/test_worldstep.py).
+        can_global = jax.lax.psum(can.astype(jnp.int32), WORLD_AXIS) > 0
+        rank_global = jnp.cumsum(can_global.astype(jnp.int32)) - 1
+        new_uid = (st.next_uid + rank_global).astype(jnp.int32)
+
         src_idx = jnp.arange(s, dtype=jnp.int32)
         zero2 = jnp.zeros((s, 2), f)
         leg0 = sp.leg_route[:, 0]
@@ -240,9 +251,7 @@ def build_world_step(
         def scat(arr, vals):
             return arr.at[tgt].set(vals, mode="drop")
 
-        n_spawned_global = jax.lax.psum(
-            jnp.sum(can.astype(jnp.int32)), WORLD_AXIS
-        )
+        n_spawned_global = jnp.sum(can_global.astype(jnp.int32))
         st = st.replace(
             position=scat(st.position, sp.source),
             velocity=scat(st.velocity, zero2),
@@ -257,10 +266,8 @@ def build_world_step(
             route_id=scat(st.route_id, leg0),
             route_wp=scat(st.route_wp, jnp.zeros((s,), jnp.int32)),
             priority=scat(st.priority, new_uid.astype(f)),
-            # uids advance by the requested count so shard-capacity drops
-            # can never alias ids (see module docstring).
             next_uid=st.next_uid
-            + jnp.sum(want.astype(jnp.int32), dtype=jnp.int32),
+            + jnp.sum(can_global.astype(jnp.int32), dtype=jnp.int32),
         )
         spawned = jnp.zeros((m,), jnp.bool_).at[tgt].set(True, mode="drop")
         dropped = jnp.sum(n_requested) - n_spawned_global
@@ -285,24 +292,34 @@ def build_world_step(
         shift = (i.astype(f) * cols_per - H) * jnp.asarray(cfg0.tile_size, f)
         pos_sh = st.position.at[:, 0].add(-shift)
 
-        # Stray diagnostic: an in-world agent outside its shard's columns
-        # gets clipped into a halo column and then overwritten (its
-        # forces are wrong for this step) — zero after a clean migration,
-        # surfaced if not.  Agents outside the world's x-range entirely
-        # are excluded: they are flagged out_of_bounds instead and —
-        # unlike the single-device step, which clamps them into the edge
-        # tile — sit in the (overwritten) halo column, losing force
-        # interactions until they re-enter.  The reference errors the
-        # whole step on out-of-grid agents (location_hash_2d.rs:61-63).
+        # World-edge clamp, matching the single-device tile clip
+        # (tile_key's default (0, tx-1) — the reference instead errors
+        # the whole step on out-of-grid agents, location_hash_2d.rs:61-63):
+        # on the edge shards, out-of-world agents bin into the world's
+        # outermost REAL column and keep all force interactions.  Interior
+        # shards keep the plain ext clip — an out-of-world agent only
+        # transits one mid-shard step per region while migration walks it
+        # to the edge shard (counted in ``stray`` meanwhile).
+        col_lo = jnp.where(i == 0, jnp.int32(H), jnp.int32(0))
+        col_hi = jnp.where(
+            i == d - 1, jnp.int32(cols_per + H - 1),
+            jnp.int32(ext_cfg.tx - 1),
+        )
+
+        # Stray diagnostic: an agent whose binning column is NOT a real
+        # column of this shard (in-world agents mid-migration, plus
+        # out-of-world agents transiting an interior shard) gets clipped
+        # into a halo column and then overwritten — its forces are wrong
+        # for this step.  Zero after a clean migration, surfaced if not.
         colf = jnp.floor(
             (pos_sh[:, 0] - jnp.asarray(x0, f))
             / jnp.asarray(cfg0.tile_size, f)
         ).astype(jnp.int32)
-        gcol = i.astype(jnp.int32) * cols_per + colf - H
-        in_world = (gcol >= 0) & (gcol < tx)
+        binned_col = jnp.clip(colf, col_lo, col_hi)
         stray = jnp.sum(
-            (st.alive & in_world
-             & ((colf < H) | (colf >= cols_per + H))).astype(jnp.int32)
+            (st.alive
+             & ((binned_col < H) | (binned_col >= cols_per + H))
+             ).astype(jnp.int32)
         )
 
         zp = lp_params
@@ -318,6 +335,7 @@ def build_world_step(
             st.alive[ord_u],
             use_pack_kernel=config.use_pack_kernel,
             interpret=config.pallas_interpret,
+            col_clip=(col_lo, col_hi),
         )
         bucket_pos = (
             jnp.full((m,), ext_cfg.slots, jnp.int32)
@@ -453,9 +471,16 @@ def build_world_step(
         mpos = mpos.at[:, 0].add(-shift.astype(f32))  # ext coords
         mvalid = mvalid[ord_s]
         inv_tile = 1.0 / cfg0.tile_size
+        # Same per-shard world-edge column clamp as local_forces'
+        # bucketize, so spill windows align with the packed layout.
+        col_lo = jnp.where(i == 0, jnp.int32(H), jnp.int32(0))
+        col_hi = jnp.where(
+            i == d - 1, jnp.int32(cols_per + H - 1),
+            jnp.int32(ext_cfg.tx - 1),
+        )
         tcx = jnp.clip(jnp.floor(
             (mpos[:, 0] - cfg0.offset[0]) * inv_tile).astype(jnp.int32),
-            0, ext_cfg.tx - 1)
+            col_lo, col_hi)
         tcy = jnp.clip(jnp.floor(
             (mpos[:, 1] - cfg0.offset[1]) * inv_tile).astype(jnp.int32),
             0, cfg0.ty - 1)

@@ -242,3 +242,212 @@ def test_world_sharded_boundary_hotspot_repaired():
     assert ref.keys() == a1.keys()
     r = np.asarray([ref[k] for k in sorted(ref)])
     np.testing.assert_allclose(r, w, rtol=2e-4, atol=2e-4)
+
+
+def make_edge_scene(capacity=512):
+    """Harsh scene for the world-edge semantics (VERDICT r2 weak #3):
+    clusters pushed OUT of the world's x-range on both edges, each with
+    in-world partners within eyesight — the single-device step clamps
+    out-of-world agents into the edge tile (tile_key's default clip) and
+    keeps their force interactions; the world engine must match."""
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        spill_capacity=32,
+        pallas_interpret=True,
+        dtype="float32",
+        on_truncation="ignore",
+    )
+    # Two opposing constant-velocity planners so edge pairs CLOSE on each
+    # other (equal velocities give zero relative speed -> infinite TTC ->
+    # no Zanlungo force at all, zanlungo.rs:76-91).
+    hl_r = ConstantVelocity((0.5, 0.0))
+    hl_l = ConstantVelocity((-0.5, 0.0))
+    # force_cap 2 (not 10): the clusters are intentionally dense, and
+    # capped kicks make neighbor sets change discretely every step —
+    # ULP-level coordinate rounding (per-shard ext-coordinate shifts)
+    # then flips mask thresholds and amplifies chaotically past any
+    # tolerance.  The test's claim is "edge-clamped agents keep their
+    # forces", not chaos reproduction.
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=2.0)
+    rng = np.random.default_rng(7)
+    state = make_state(cfg, seed=11)
+    n = 120
+    pos = np.zeros((capacity, 2))
+    pos[:n] = rng.uniform(3.0, 45.0, (n, 2))
+    # 12 agents OUTSIDE the left edge (x in [-2, -0.2]) + 12 partners just
+    # inside; same on the right edge (x in [48.2, 50]).  Outsiders head
+    # into the world, partners head out toward them: closing pairs
+    # straddling both world edges.
+    pos[0:12] = np.stack([rng.uniform(-2.0, -0.2, 12),
+                          rng.uniform(20.0, 26.0, 12)], axis=-1)
+    pos[12:24] = np.stack([rng.uniform(0.2, 1.5, 12),
+                           rng.uniform(20.0, 26.0, 12)], axis=-1)
+    pos[24:36] = np.stack([rng.uniform(48.2, 50.0, 12),
+                           rng.uniform(20.0, 26.0, 12)], axis=-1)
+    pos[36:48] = np.stack([rng.uniform(46.5, 47.8, 12),
+                           rng.uniform(20.0, 26.0, 12)], axis=-1)
+    hl_idx = np.zeros(capacity, np.int32)
+    hl_idx[0:12] = 0   # outside left -> +x
+    hl_idx[12:24] = 1  # left partners -> -x
+    hl_idx[24:36] = 1  # outside right -> -x
+    hl_idx[36:48] = 0  # right partners -> +x
+    alive = np.zeros(capacity, bool)
+    alive[:n] = True
+    f = cfg.jdtype
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.where(jnp.asarray(alive), jnp.asarray(3.0, f), 0.0),
+        alive=jnp.asarray(alive),
+        uid=jnp.arange(capacity, dtype=jnp.int32),
+        hl_idx=jnp.asarray(hl_idx),
+        lp_idx=jnp.zeros((capacity,), jnp.int32),
+        priority=jnp.arange(capacity, dtype=f),
+        next_uid=jnp.asarray(capacity, jnp.int32),
+    )
+    params = SimParams(hl=(hl_r.init_params(), hl_l.init_params()),
+                       lp=(lp.init_params(),), sources=None)
+    return cfg, [hl_r, hl_l], lp, params, state
+
+
+def test_world_edge_clamp_matches_general():
+    """Out-of-world agents keep their force interactions via the edge-tile
+    clamp, on 8 devices and 1, matching the general rollout."""
+    results = {}
+    for n_dev in (8, 1):
+        cfg, hls, lp, params, state = make_edge_scene()
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:n_dev]), (WORLD_AXIS,)
+        )
+        st = shard_state_by_region(cfg, mesh, state)
+        rollout = build_world_rollout(cfg, hls, [lp], mesh)
+        st, c = rollout(params, st, 0.2, 4)
+        st = jax.device_get(st)
+        assert int(np.sum(np.asarray(c.neighbor_truncated))) == 0
+        assert int(np.sum(np.asarray(c.stray))) == 0, (
+            "edge-clamped agents must not be counted stray"
+        )
+        alive = np.asarray(st.alive)
+        uid = np.asarray(st.uid)
+        pos = np.asarray(st.position)
+        vel = np.asarray(st.velocity)
+        results[n_dev] = {
+            int(uid[i]): (*pos[i], *vel[i]) for i in np.flatnonzero(alive)
+        }
+
+    cfg, hls, lp, params, state = make_edge_scene()
+    rollout = jax.jit(build_rollout(cfg, hls, [lp]), static_argnums=(3,))
+    st, counters = rollout(params, state, 0.2, 4)
+    assert int(np.max(np.asarray(counters.neighbor_truncated))) == 0
+    # The scene really has out-of-world agents (flagged, like lib.rs
+    # would error).
+    assert int(np.max(np.asarray(counters.out_of_bounds))) > 0
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    vel = np.asarray(st.velocity)
+    ref = {int(uid[i]): (*pos[i], *vel[i]) for i in np.flatnonzero(alive)}
+
+    for n_dev in (8, 1):
+        got = results[n_dev]
+        assert ref.keys() == got.keys()
+        r = np.asarray([ref[k] for k in sorted(ref)])
+        g = np.asarray([got[k] for k in sorted(got)])
+        np.testing.assert_allclose(r, g, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"n_dev={n_dev}")
+        # The outside agents moved under forces (not frozen): their
+        # velocity differs from the HL recommendation for at least one.
+        outs = [k for k in sorted(ref) if k < 12 or (24 <= k < 36)]
+        gv = np.asarray([got[k][2:] for k in outs])
+        hv = np.asarray([[0.5, 0.0] if k < 12 else [-0.5, 0.0]
+                         for k in outs])
+        assert np.max(np.abs(gv - hv)) > 1e-4, (
+            "out-of-world agents lost all force interactions"
+        )
+
+
+def test_world_shard_capacity_spawn_drop_divergence():
+    """THE one documented capacity-pressure divergence: a spawn drops
+    when its shard is full even though the global array has room; uids
+    advance by the committed count (matching build_step's stream), so
+    the drop never aliases ids."""
+    capacity = 64  # 8 slots per shard on 8 devices
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        pallas_interpret=True,
+        dtype="float32",
+        on_truncation="ignore",
+    )
+    hl = ConstantVelocity((0.0, 0.0))  # nobody moves: shard 3 stays full
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=10.0)
+    # Source inside shard 3's region [18, 24); 8 blockers fill that shard
+    # (none within the 0.4 clearance disc of the source).
+    src = SourceSink(
+        source=(20.0, 20.0),
+        waypoints=[(20.0, 40.0)],
+        radius_sink=1.0,
+        crowd_generator=MonotonicCrowd(1.0),
+        high_level_planner=hl,
+        local_planner=lp,
+        agent_eyesight_range=3.0,
+    )
+    sp = stack_source_params([src], [0], [0], [[-1]], cfg.jdtype)
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=sp)
+    state = make_state(cfg, seed=2)
+    pos = np.full((capacity, 2), 40.0)
+    pos[:8] = np.stack([np.linspace(18.5, 23.5, 8), np.full(8, 30.0)],
+                       axis=-1)
+    alive = np.zeros(capacity, bool)
+    alive[:8] = True
+    f = cfg.jdtype
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.where(jnp.asarray(alive), jnp.asarray(3.0, f), 0.0),
+        alive=jnp.asarray(alive),
+        uid=jnp.arange(capacity, dtype=jnp.int32),
+        hl_idx=jnp.zeros((capacity,), jnp.int32),
+        lp_idx=jnp.zeros((capacity,), jnp.int32),
+        priority=jnp.arange(capacity, dtype=f),
+        next_uid=jnp.asarray(capacity, jnp.int32),
+    )
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), (WORLD_AXIS,))
+    st = shard_state_by_region(cfg, mesh, state)
+    rollout = build_world_rollout(cfg, [hl], [lp], mesh)
+    st8, c8 = rollout(params, st, 0.5, 4)
+    st8 = jax.device_get(st8)
+    # All 4 requested spawns dropped (shard 3 full), population unchanged,
+    # and next_uid did NOT advance — committed-count semantics.
+    assert int(np.sum(np.asarray(c8.spawn_dropped))) == 4
+    assert int(np.asarray(c8.n_alive)[-1]) == 8
+    assert int(np.max(np.asarray(st8.next_uid))) == capacity
+
+    # The general step HAS room globally: its FIRST spawn commits (the
+    # later ones are then clearance-blocked by the newly spawned agent
+    # sitting motionless on the source — reference semantics,
+    # lib.rs:208-218) — the divergence is real and bounded to this case.
+    g_rollout = jax.jit(build_rollout(cfg, [hl], [lp]),
+                        static_argnums=(3,))
+    stg, cg = g_rollout(params, state, 0.5, 4)
+    assert list(np.asarray(cg.spawn_dropped)) == [0, 1, 1, 1]
+    assert int(np.asarray(cg.n_alive)[-1]) == 9
+    assert int(np.asarray(stg.next_uid)) == capacity + 1
