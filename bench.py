@@ -58,6 +58,10 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # assertion below holds honestly.  Scaled with N (tiered by live
         # count, so oversizing costs nothing on clean steps).
         spill_capacity=max(128, n_agents // 4096),
+        # Tile-sorted state across steps: one sort-with-payloads replaces
+        # bucketize's argsort + feature gather + inverse scatter, and
+        # enables the monotone unbucketize kernel (ops/compact_pallas.py).
+        presort=(backend == "grid_pallas"),
         dtype=dtype,
     )
 

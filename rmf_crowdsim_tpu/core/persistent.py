@@ -152,7 +152,7 @@ def _rebin(cfg: BucketConfig, packed, spill, s_cap: int,
 
 
 def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
-                  spill_valid):
+                  spill_valid, interpret: bool = False):
     """Slot-space spill patch: recompute each spill row and its 3x3
     packed neighborhood exactly (ops/zanlungo_pallas._spill_groups) and
     overwrite the kernel's outputs.  Returns (out_slots, spill_vel
@@ -188,6 +188,7 @@ def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
                 cfg, zp, packed,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 tcx[:cap], tcy[:cap], spill_valid[:cap], chunk=16,
+                interpret=interpret,
             )
             win_valid = q_id[:, :-1] >= 0
             tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
@@ -334,7 +335,8 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
                 bucket_cfg, z5, packed, interpret=interp
             )  # [slots, 2]
             out, spill_vel = _patch_spills(
-                bucket_cfg, params_z, packed, spill, out, alive_s
+                bucket_cfg, params_z, packed, spill, out, alive_s,
+                interpret=interp,
             )
             vel = jnp.where(alive_p[:, None], out, 0.0)
             vel_s = jnp.where(alive_s[:, None], spill_vel, 0.0)

@@ -47,9 +47,15 @@ _SENT_NP[0, ROW_ID] = -1.0
 ROW_BPOS = 13   # bucket slot of this row, as f32
 ROW_ONE = 15    # constant 1.0 on real rows (hit counting)
 
-GROUP = 512         # slots per kernel program
-CHUNK = 256         # rows per inner DMA/matmul
-MAX_CHUNKS = 4      # rows streamed per group <= CHUNK * MAX_CHUNKS
+# Geometry (round 3): fewer, larger streams — 1024-slot groups fed by
+# 512-row chunks issue 4x fewer DMAs than the original 512/256/4 at the
+# same 2x row-headroom (a fully-packed group is 1024 rows + 128-align
+# slack <= 3 * 512).  The one-hot compare/matmul work grows ~1.5x but
+# the pack kernel was DMA-issue bound (~12 of bucketize's 13.8 ms at 1M,
+# perf/step_parts.py).
+GROUP = 1024        # slots per kernel program
+CHUNK = 512         # rows per inner DMA/matmul
+MAX_CHUNKS = 3      # rows streamed per group <= CHUNK * MAX_CHUNKS
 
 
 def _make_kernel(n_pad: int, slots: int):

@@ -339,27 +339,32 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
 
 def _pair_ttc(qvx, qvy, qpx, qpy, cvx, cvy, cpx, cpy, radius):
     """Pairwise time-to-collision [Q, C] (zanlungo.rs:49-74; see
-    models/local.py time_to_collision for the branch semantics)."""
+    models/local.py time_to_collision for the branch semantics).
+
+    Half-b formulation: roots = (-bh -+ sqrt(bh^2 - a c)) / a, which
+    drops the 2.0* / 4.0* scalings exactly (disc scales by the exact
+    factor 4), and root SIGNS are decided on the numerators (a > 0 on
+    every live lane), saving one [Q, C] multiply and two compares vs
+    the literal quadratic — ULP-level differences only."""
     rvx = cvx - qvx
     rvy = cvy - qvy
     rpx = cpx - qpx
     rpy = cpy - qpy
     a = rvx * rvx + rvy * rvy
-    b = 2.0 * (rvx * rpx + rvy * rpy)
+    bh = rvx * rpx + rvy * rpy
     c = rpx * rpx + rpy * rpy - radius * radius
-    disc = b * b - 4.0 * a * c
+    disc4 = bh * bh - a * c
     safe_a = jnp.where(a > 0, a, 1.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv2a = 0.5 / safe_a  # one division instead of two
-    t0 = (-b - sq) * inv2a
-    t1 = (-b + sq) * inv2a
+    sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+    num0 = -bh - sq   # <= num1 (sq >= 0)
+    num1 = -bh + sq
     inf = jnp.float32(jnp.inf)
-    opposite = ((t0 < 0) & (t1 > 0)) | ((t1 < 0) & (t0 > 0))
-    res = jnp.where(
-        opposite, 0.0,
-        jnp.where((t0 < t1) & (t0 > 0), t0, jnp.where(t1 > 0, t1, inf)),
+    res_num = jnp.where(
+        (num0 < 0) & (num1 > 0), 0.0,
+        jnp.where(num0 > 0, num0, jnp.where(num1 > 0, num1, inf)),
     )
-    res = jnp.where(disc < 0, inf, res)
+    res = res_num * (1.0 / safe_a)
+    res = jnp.where(disc4 < 0, inf, res)
     return jnp.where(a > 0, res, inf), (rpx * rpx + rpy * rpy)
 
 
@@ -418,7 +423,7 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     r2 = jnp.sqrt(jnp.abs(row))
     r2n = jnp.where(row < 0, r2, 0.0)
     r2p = jnp.where(row > 0, r2, 0.0)
-    w = jnp.where(row < 0, -r2n, jnp.where(row > 0, r2p, 0.0))
+    w = jnp.sign(row) * r2  # == the reference's three-way select
     pos_row = row > 0
     neg_row = row < 0
     mvx = jnp.where(pos_row, qvx + r2p * (qspx - qvx), qvx)
@@ -468,11 +473,11 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     # the [Q, C] divide is dropped (direction identical to f32 noise).
     s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI))
     s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI))
-    sl_x = jnp.where(sin_theta > 0, dx * s0 + perp_x * s1, dx)
-    sl_y = jnp.where(sin_theta > 0, dy * s0 + perp_y * s1, dy)
-    use_slerp = (weight > 1.0) & interpolate
-    dx = jnp.where(use_slerp, sl_x, dx)
-    dy = jnp.where(use_slerp, sl_y, dy)
+    # One fused select: slerp applies only when live AND sin > 0 (the
+    # reference keeps dx on the degenerate sin == 0 branch).
+    slerp_live = (weight > 1.0) & interpolate & (sin_theta > 0)
+    dx = jnp.where(slerp_live, dx * s0 + perp_x * s1, dx)
+    dy = jnp.where(slerp_live, dy * s0 + perp_y * s1, dy)
 
     d2n = dx * dx + dy * dy
     inv_d = jnp.where(d2n > 0, jax.lax.rsqrt(jnp.where(d2n > 0, d2n, 1.0)),
@@ -862,7 +867,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 pref_committed, priority, eyesight, alive, rec_vel,
                 packed_t, bucket_pos, vel,
-                spill_capacity: int, chunk: int = 16):
+                spill_capacity: int, chunk: int = 16,
+                interpret: bool = False):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
@@ -948,6 +954,7 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 cfg, zp, packed_t,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 sp_tcx[:cap], sp_tcy[:cap], spill_valid[:cap], chunk,
+                interpret=interpret,
             )
             # Overwrite patched rows (overlapping groups recompute
             # identical values — scatter order irrelevant).  q_id carries
@@ -981,9 +988,14 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     return vel, spill_over.astype(jnp.int32)
 
 
-def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
-                  sp_tcx, sp_tcy, spill_valid, chunk: int):
-    """Per-spill group evaluation shared by the agent-space patch above
+def _spill_groups_xla(cfg: BucketConfig, zp, packed_t, sp: dict,
+                      sp_tcx, sp_tcy, spill_valid, chunk: int):
+    """Pure-XLA spill-group evaluation (the parity oracle for the Pallas
+    path below; also used under interpret-less CPU paths).  Materializes
+    [chunk, 9b+1, 5*run+cap] pair tensors through HBM — ~16 ms at the
+    1M bench's 64-spill tier (perf/step_parts.py).
+
+    Shared by the agent-space patch above
     and the slot-space persistent-rollout patch (core/persistent.py).
 
     ``sp``: dict of spill feature rows [S, ...] (pos, vel, prefc, spref,
@@ -1122,6 +1134,299 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
     return out, q_id, q_slots
 
 
+def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
+    """One program per spill: recompute the spill's 3x3 window queries
+    against its full 5x5 candidate window + the spill list, entirely in
+    VMEM.  The XLA version above materializes [chunk, 9b+1, 5*run+cap]
+    pair tensors in HBM (~16 ms at the 1M bench's 64-spill tier,
+    perf/step_parts.py); here the pair math never leaves the core.
+
+    Data routing (Mosaic DMA rules: lane slices 128-aligned, sublane
+    8-aligned): CANDIDATES need lane-major rows -> 5 manual DMAs of the
+    transposed packed array, 128-align-down + roll; QUERIES need
+    sublane-major rows -> nine (bucket, NUM_F) BlockSpec inputs on the
+    untransposed packed array, indexed per-program via scalar prefetch
+    (tile offsets are bucket-granular by construction)."""
+    b = cfg.bucket
+    run = 5 * b
+    qc = 3 * b                    # queries per window column (one chunk)
+    q_len = 9 * b
+    ext = ((run + 127) // 128 + 1) * 128   # aligned window read width
+    cw = 5 * run + cap_pad
+
+    def kernel(meta_ref, packed_T_any, *rest):
+        (q0, q1, q2, q3, q4, q5, q6, q7, q8, spt_ref, zp_ref,
+         out_ref, wins, wsem) = rest
+        qblocks = (q0, q1, q2, q3, q4, q5, q6, q7, q8)
+        p = pl.program_id(0)
+        zp = (zp_ref[0, 0], zp_ref[0, 1], zp_ref[0, 2], zp_ref[0, 3],
+              zp_ref[0, 4])
+        radius = zp_ref[0, 3]
+        inf = jnp.float32(jnp.inf)
+
+        # ---- 5 candidate column windows: lane-major manual DMAs.
+        def cand_dma(k):
+            return pltpu.make_async_copy(
+                packed_T_any.at[:, pl.ds(
+                    pl.multiple_of(meta_ref[p, k], 128), ext)],
+                wins.at[k], wsem.at[k],
+            )
+
+        for k in range(5):
+            cand_dma(k).start()
+        for k in range(5):
+            cand_dma(k).wait()
+
+        # Candidate row: [NUM_F, 5*run + cap_pad], lane order identical
+        # to the XLA version's win.reshape + spill-list concat.
+        pieces = []
+        for k in range(5):
+            w = wins[k]
+            shift = meta_ref[p, 5 + k]
+            w = pltpu.roll(
+                w,
+                jax.lax.rem(jnp.int32(ext) - shift, jnp.int32(ext)),
+                axis=1,
+            )
+            pieces.append(w[:, :run])
+        pieces.append(spt_ref[...])
+        cand = jnp.concatenate(pieces, axis=1)      # [NUM_F, CW]
+
+        def crow(r):
+            return cand[r:r + 1, :]
+
+        cpx_, cpy_ = crow(ROW_PX), crow(ROW_PY)
+        cvx_, cvy_ = crow(ROW_VX), crow(ROW_VY)
+        cfx_, cfy_ = crow(ROW_FX), crow(ROW_FY)
+        cprio_, cid_ = crow(ROW_PRIO), crow(ROW_ID)
+
+        def q_chunk(i, _):
+            # Queries for column chunk i: tiles 3i, 3i+1, 3i+2 stacked
+            # on sublanes (same order as the XLA qwin reshape).
+            qr = jnp.concatenate(
+                [qblocks[3 * i + j][...] for j in range(3)], axis=0
+            )                                        # [qc, NUM_F]
+
+            def qrow(r):
+                return qr[:, r:r + 1]
+
+            qpx_, qpy_ = qrow(ROW_PX), qrow(ROW_PY)
+            qvx_, qvy_ = qrow(ROW_VX), qrow(ROW_VY)
+            qspx_, qspy_ = qrow(ROW_SPX), qrow(ROW_SPY)
+            qprio_, qeye_, qid_ = (qrow(ROW_PRIO), qrow(ROW_EYE),
+                                   qrow(ROW_ID))
+            d2 = (cpx_ - qpx_) ** 2 + (cpy_ - qpy_) ** 2
+            mask = (
+                (d2 < qeye_ * qeye_) & (cid_ != qid_) & (cid_ >= 0)
+                & (qid_ >= 0)
+            )
+            ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
+                               cvx_, cvy_, cpx_, cpy_, radius)
+            ttc = jnp.where(mask, ttc, inf)
+            t_i = jnp.min(ttc, axis=1, keepdims=True)
+            pfx, pfy = _pair_force(
+                zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
+                cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_, mask,
+            )
+            has = jnp.isfinite(t_i)
+            inv_mass = 1.0 / zp[2]
+            out_x = qrow(ROW_RX) + jnp.where(
+                has, jnp.sum(pfx, axis=1, keepdims=True) * inv_mass, 0.0)
+            out_y = qrow(ROW_RY) + jnp.where(
+                has, jnp.sum(pfy, axis=1, keepdims=True) * inv_mass, 0.0)
+            out_ref[i * qc:(i + 1) * qc, 0:1] = out_x
+            out_ref[i * qc:(i + 1) * qc, 1:2] = out_y
+
+        for i in range(3):  # static: qblocks indexing must be static
+            q_chunk(i, None)
+
+    return kernel, ext, cw, q_len
+
+
+def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
+                                sp_tcx, sp_tcy, interpret: bool):
+    """Pallas path for the WINDOW-query part of :func:`_spill_groups`:
+    out_win [S, 9b, 2] velocities for the spill's 3x3-tile queries (rows
+    for empty/invalid slots are garbage — callers mask by q_id).  sp_t:
+    [NUM_F, cap_pad] spill features, id -1 on dead rows."""
+    b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    cap = sp_tcx.shape[0]
+    cap_pad = sp_t.shape[1]
+    kernel, ext, cw, q_len = _make_spill_kernel(cfg, cap, cap_pad)
+
+    bx = jnp.clip(sp_tcx - 2, 0, tx - 5)
+    by = jnp.clip(sp_tcy - 2, 0, ty - 5)
+    qx = jnp.clip(sp_tcx - 1, 0, tx - 3) - bx
+    qy = jnp.clip(sp_tcy - 1, 0, ty - 3) - by
+    cols = bx[:, None] + jnp.arange(5, dtype=jnp.int32)[None, :]
+    off = (cols * ty + by[:, None]) * b                      # [S, 5]
+    base = jnp.clip((off // 128) * 128, 0, cfg.slots - ext)
+    shift = (off - base).astype(jnp.int32)
+    # Query tile k = 3*i + j: column bx+qx+i, tile row by+qy+j — as
+    # BLOCK indices of (bucket, NUM_F) blocks of the packed array.
+    qcol = bx + qx
+    qblk = jnp.stack(
+        [(qcol + i) * ty + by + qy + j
+         for i in range(3) for j in range(3)], axis=1
+    )                                                        # [S, 9]
+    meta = jnp.concatenate([base, shift, qblk], axis=1).astype(jnp.int32)
+
+    def qspec(k):
+        return pl.BlockSpec(
+            (b, NUM_F), lambda p, meta_r, _k=k: (meta_r[p, 10 + _k], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            *[qspec(k) for k in range(9)],
+            pl.BlockSpec((NUM_F, cap_pad), lambda p, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda p, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_len, 2), lambda p, *_: (p, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((5, NUM_F, ext), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    zp8 = jnp.zeros((1, 8), jnp.float32).at[0, :5].set(zp5)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cap * q_len, 2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, packed_t.T, *([packed_t] * 9), sp_t, zp8)
+    return out.reshape(cap, q_len, 2)
+
+
+def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
+                  sp_tcx, sp_tcy, spill_valid, chunk: int,
+                  interpret: bool = False):
+    """Per-spill group evaluation: same contract as
+    :func:`_spill_groups_xla` (out [S, 9b+1, 2], q_id [S, 9b+1],
+    q_slots [S, 9b]) but the window-query pair math runs in the Pallas
+    kernel (VMEM-resident) and only the spills' OWN rows — [S] queries
+    against their 3x3 + the spill list — go through the small XLA pass.
+    Window rows are kernel-math (tolerance-equal to the XLA oracle, like
+    the main force kernel); own rows keep the models/local math exactly.
+    """
+    from ..models.local import zanlungo_from_rows
+
+    s_cap = sp_tcx.shape[0]
+    b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    assert tx >= 5 and ty >= 5, (
+        "the spill machinery needs a >= 5x5-tile world (set "
+        "spill_capacity=0 for smaller worlds)"
+    )
+    q_len = 9 * b
+
+    zp5 = jnp.stack([
+        zp.agent_scale.astype(jnp.float32),
+        zp.force_distance.astype(jnp.float32),
+        zp.agent_mass.astype(jnp.float32),
+        zp.agent_radius.astype(jnp.float32),
+        zp.force_cap.astype(jnp.float32),
+    ])
+    # Spill features in the packed row layout, lane-padded to 128.
+    cap_pad = ((s_cap + 127) // 128) * 128
+    f32 = jnp.float32
+    sp_rows = jnp.zeros((cap_pad, NUM_F), f32)
+    sp_rows = sp_rows.at[:s_cap, ROW_PX].set(sp["pos"][:, 0])
+    sp_rows = sp_rows.at[:s_cap, ROW_PY].set(sp["pos"][:, 1])
+    sp_rows = sp_rows.at[:s_cap, ROW_VX].set(sp["vel"][:, 0])
+    sp_rows = sp_rows.at[:s_cap, ROW_VY].set(sp["vel"][:, 1])
+    sp_rows = sp_rows.at[:s_cap, ROW_FX].set(sp["prefc"][:, 0])
+    sp_rows = sp_rows.at[:s_cap, ROW_FY].set(sp["prefc"][:, 1])
+    sp_rows = sp_rows.at[:s_cap, ROW_PRIO].set(sp["prio"])
+    sp_rows = sp_rows.at[:s_cap, ROW_EYE].set(sp["eye"])
+    sp_rows = sp_rows.at[:s_cap, ROW_RX].set(sp["rec"][:, 0])
+    sp_rows = sp_rows.at[:s_cap, ROW_RY].set(sp["rec"][:, 1])
+    sp_rows = sp_rows.at[:s_cap, ROW_SPX].set(sp["spref"][:, 0])
+    sp_rows = sp_rows.at[:s_cap, ROW_SPY].set(sp["spref"][:, 1])
+    sp_rows = sp_rows.at[:, ROW_ID].set(-1.0)
+    sp_rows = sp_rows.at[:s_cap, ROW_ID].set(sp["id"])
+
+    out_win = _spill_groups_window_pallas(
+        cfg, zp5, packed_t, sp_rows.T, sp_tcx, sp_tcy, interpret,
+    )                                                        # [S, 9b, 2]
+
+    # Window-query bookkeeping (identical to the XLA version).
+    bx = jnp.clip(sp_tcx - 2, 0, tx - 5)
+    by = jnp.clip(sp_tcy - 2, 0, ty - 5)
+    qx = jnp.clip(sp_tcx - 1, 0, tx - 3) - bx
+    qy = jnp.clip(sp_tcy - 1, 0, ty - 3) - by
+    qcol = bx[:, None] + qx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]
+    qrow0 = (by + qy)[:, None] * b
+    q_slots = (
+        (qcol[:, :, None] * ty) * b
+        + qrow0[:, :, None]
+        + jnp.arange(3 * b, dtype=jnp.int32)[None, None, :]
+    ).reshape(s_cap, q_len)
+    q_id = jnp.where(
+        spill_valid[:, None],
+        packed_t[q_slots.reshape(-1), ROW_ID].reshape(s_cap, q_len),
+        -1.0,
+    )
+
+    # Spills' OWN rows: [S] queries vs their 3x3 packed window + the
+    # whole spill list (exactly the XLA version's last column).
+    bx3 = jnp.clip(sp_tcx - 1, 0, tx - 3)
+    by3 = jnp.clip(sp_tcy - 1, 0, ty - 3)
+    cols3 = bx3[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+    base3 = (cols3 * ty + by3[:, None]) * b                  # [S, 3]
+
+    def col3(b0):
+        return jax.lax.dynamic_slice(
+            packed_t, (b0, jnp.zeros((), b0.dtype)), (3 * b, NUM_F)
+        )
+
+    w3 = jax.vmap(jax.vmap(col3))(base3).reshape(s_cap, q_len, NUM_F)
+    w3_ok = w3[..., ROW_ID] >= 0
+    nc = q_len + s_cap
+    c_pos = jnp.concatenate(
+        [w3[..., ROW_PX:ROW_PX + 2],
+         jnp.broadcast_to(sp["pos"][None], (s_cap, s_cap, 2))], axis=1)
+    c_vel = jnp.concatenate(
+        [w3[..., ROW_VX:ROW_VX + 2],
+         jnp.broadcast_to(sp["vel"][None], (s_cap, s_cap, 2))], axis=1)
+    c_prefc = jnp.concatenate(
+        [w3[..., ROW_FX:ROW_FX + 2],
+         jnp.broadcast_to(sp["prefc"][None], (s_cap, s_cap, 2))], axis=1)
+    c_prio = jnp.concatenate(
+        [w3[..., ROW_PRIO],
+         jnp.broadcast_to(sp["prio"][None], (s_cap, s_cap))], axis=1)
+    c_id = jnp.concatenate(
+        [jnp.where(w3_ok, w3[..., ROW_ID], -1.0),
+         jnp.broadcast_to(sp["id"][None], (s_cap, s_cap))], axis=1)
+    d2 = jnp.sum(
+        (c_pos - sp["pos"][:, None, :]) ** 2, axis=-1
+    )                                                        # [S, nc]
+    valid = (
+        (c_id >= 0)
+        & spill_valid[:, None]
+        & (d2 < (sp["eye"] ** 2)[:, None])
+        & (c_id != sp["id"][:, None])
+    )
+    own = zanlungo_from_rows(
+        zp, sp["pos"][:, None], sp["vel"][:, None],
+        sp["spref"][:, None], sp["prio"][:, None],
+        c_pos[:, None], c_vel[:, None], c_prefc[:, None],
+        c_prio[:, None], valid[:, None], sp["rec"][:, None],
+    )                                                        # [S, 1, 2]
+
+    out = jnp.concatenate([out_win, own], axis=1)            # [S, 9b+1, 2]
+    q_id_full = jnp.concatenate([q_id, sp["id"][:, None]], axis=1)
+    return out, q_id_full, q_slots
+
+
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
@@ -1153,9 +1458,29 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     ])
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret)
-    safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive
-    vel = out[safe].astype(dtype)
+    if presorted:
+        # bucket_pos is monotone over (sorted) agents: the windowed
+        # one-hot compaction kernel replaces the ~10 ns/row XLA gather,
+        # falling back to it only when a block's slot span exceeds the
+        # kernel window (locally sparse packing — audited exactly).
+        from .compact_pallas import unbucketize_compact
+
+        vel_k, cover_ok = unbucketize_compact(
+            out, bucket_pos, position.shape[0], interpret=interpret
+        )
+
+        def from_kernel(_):
+            return vel_k
+
+        def from_gather(_):
+            return out[jnp.clip(bucket_pos, 0, cfg.slots - 1)]
+
+        vel = jax.lax.cond(cover_ok, from_kernel, from_gather, 0).astype(
+            dtype
+        )
+    else:
+        vel = out[jnp.clip(bucket_pos, 0, cfg.slots - 1)].astype(dtype)
     vel = jnp.where(ok[:, None], vel, rec_vel)
     if spill_capacity > 0:
         # `dropped` from bucketize = bucket overflow + pack overflow; the
@@ -1163,7 +1488,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         vel, unresolved = spill_patch(
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
-            spill_capacity,
+            spill_capacity, interpret=interpret,
         )
         n_bucket_over = jnp.sum(
             (alive & (bucket_pos >= cfg.slots)).astype(jnp.int32)

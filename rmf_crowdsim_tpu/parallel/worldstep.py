@@ -502,7 +502,8 @@ def build_world_step(
         )
         def run_patch(o):
             g_out, q_id, _q_slots = _spill_groups(
-                ext_cfg, zp_tree, packed, sp, tcx, tcy, mvalid, chunk=16
+                ext_cfg, zp_tree, packed, sp, tcx, tcy, mvalid, chunk=16,
+                interpret=config.pallas_interpret,
             )
             # Window-query outputs, written straight to their packed
             # slots.  ROW_ID < m are MY rows; halo rows (>= m) belong to

@@ -1,0 +1,162 @@
+"""config.presort: tile-sorted state across steps (grid_pallas).  The
+SoA arrays are re-ordered every step (identity = uid), one lax.sort with
+the whole state as payloads replacing bucketize's permutation ops, and
+the monotone unbucketize kernel (ops/compact_pallas.py) replacing the
+per-row gather.  Physics must match the unsorted path, and the
+compaction must be bitwise vs the gather it replaces."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmf_crowdsim_tpu import (
+    ConstantVelocity,
+    GridConfig,
+    MonotonicCrowd,
+    SimConfig,
+    SourceSink,
+    Zanlungo,
+    make_state,
+)
+from rmf_crowdsim_tpu.core.step import SimParams, build_rollout
+from rmf_crowdsim_tpu.models.source_sink import stack_source_params
+
+
+def _scene(presort: bool, capacity=256):
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        spill_capacity=32,
+        pallas_interpret=True,
+        presort=presort,
+        dtype="float32",
+        on_truncation="ignore",
+    )
+    hl = ConstantVelocity((0.8, 0.1))
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=2.0)
+    src = SourceSink(
+        source=(3.0, 24.0),
+        waypoints=[(45.0, 24.0)],
+        radius_sink=1.5,
+        crowd_generator=MonotonicCrowd(1.0),
+        high_level_planner=hl,
+        local_planner=lp,
+        agent_eyesight_range=3.0,
+    )
+    sp = stack_source_params([src], [0], [0], [[-1]], cfg.jdtype)
+    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
+                       sources=sp)
+    state = make_state(cfg, seed=9)
+    rng = np.random.default_rng(5)
+    n = 120
+    pos = np.zeros((capacity, 2))
+    pos[:n] = rng.uniform(2.0, 46.0, (n, 2))
+    # a dense knot that overflows bucket 16 (spill path active)
+    pos[:24] = rng.uniform(0.0, 1.5, (24, 2)) + [20.0, 20.0]
+    alive = np.zeros(capacity, bool)
+    alive[:n] = True
+    f = cfg.jdtype
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.where(jnp.asarray(alive), jnp.asarray(3.0, f), 0.0),
+        alive=jnp.asarray(alive),
+        uid=jnp.arange(capacity, dtype=jnp.int32),
+        hl_idx=jnp.zeros((capacity,), jnp.int32),
+        lp_idx=jnp.zeros((capacity,), jnp.int32),
+        priority=jnp.arange(capacity, dtype=f),
+        next_uid=jnp.asarray(capacity, jnp.int32),
+    )
+    return cfg, hl, lp, params, state
+
+
+def _run(presort: bool, n_steps=12):
+    cfg, hl, lp, params, state = _scene(presort)
+    rollout = jax.jit(build_rollout(cfg, [hl], [lp]), static_argnums=(3,))
+    st, counters = rollout(params, state, 0.25, n_steps)
+    st = jax.device_get(st)
+    alive = np.asarray(st.alive)
+    uid = np.asarray(st.uid)
+    pos = np.asarray(st.position)
+    vel = np.asarray(st.velocity)
+    agents = {int(uid[i]): (*pos[i], *vel[i])
+              for i in np.flatnonzero(alive)}
+    return agents, jax.device_get(counters)
+
+
+def test_presort_matches_unsorted_physics():
+    """presort re-orders slots, not physics: uid-keyed trajectories agree
+    with the unsorted engine at spill-patch tolerance (force sums run in
+    different lane orders), lifecycle counters exactly."""
+    a, ca = _run(True)
+    b, cb = _run(False)
+    # bucket overflow present (rank-based diagnostic saturates at
+    # bucket+2, so >= bucket means the spill path is active)
+    assert int(np.max(np.asarray(ca.max_cell_occupancy))) >= 16
+    assert int(np.sum(np.asarray(ca.neighbor_truncated))) == 0
+    assert a.keys() == b.keys()
+    ga = np.asarray([a[k] for k in sorted(a)])
+    gb = np.asarray([b[k] for k in sorted(b)])
+    np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-4)
+    for name in ("n_alive", "n_spawned", "n_destroyed",
+                 "n_waypoint_reached", "spawn_dropped"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ca, name)), np.asarray(getattr(cb, name)),
+            err_msg=name,
+        )
+
+
+def test_unbucketize_compact_bitwise_and_fallback():
+    """The monotone compaction kernel is bitwise vs the gather it
+    replaces, zeros unpacked rows, and reports cover_ok=False when a
+    block's slot span exceeds its window (sparse worst case)."""
+    from rmf_crowdsim_tpu.ops.compact_pallas import (
+        WIN, unbucketize_compact,
+    )
+    from rmf_crowdsim_tpu.ops.zanlungo_pallas import (
+        BucketConfig, bucketize, tile_key,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    side = 96.0
+    cfg = BucketConfig.create(side, side, (-side / 2, -side / 2), 2.0,
+                              bucket=32, strip_tiles=6, sub_tiles=2,
+                              tile_size=5.3)
+    pos = jnp.asarray(rng.uniform(-45, 45, (n, 2)), jnp.float32)
+    alive = jnp.asarray(rng.random(n) > 0.05)
+    pos = pos.at[:80].set(
+        jnp.asarray(rng.uniform(0, 1.5, (80, 2)), jnp.float32)
+    )  # hotspot: bucket overflow -> dropped agents interleaved
+    key = tile_key(cfg, pos, alive)
+    order = jnp.argsort(key, stable=True)
+    pos, alive = pos[order], alive[order]
+    vel = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+    prio = jnp.arange(n, dtype=jnp.float32)
+    eye = jnp.full((n,), 2.0, jnp.float32)
+    _, bpos, _, dropped = bucketize(
+        cfg, pos, vel, vel, vel, prio, eye, vel, alive,
+        use_pack_kernel=True, presorted=True, interpret=True,
+    )
+    assert int(dropped) > 0
+    out = jnp.asarray(rng.standard_normal((cfg.slots, 2)), jnp.float32)
+    got, cover = unbucketize_compact(out, bpos, n, interpret=True)
+    assert bool(cover)
+    okm = np.asarray(bpos) < cfg.slots
+    want = np.asarray(out[jnp.clip(bpos, 0, cfg.slots - 1)])
+    assert np.array_equal(np.asarray(got)[okm], want[okm])
+    assert np.all(np.asarray(got)[~okm] == 0.0)
+
+    # Sparse worst case: two agents WIN+ slots apart in one block.
+    bpos2 = jnp.asarray([0, WIN + 256] + [cfg.slots] * 510, jnp.int32)
+    _, cover2 = unbucketize_compact(out, bpos2, 512, interpret=True)
+    assert not bool(cover2)
