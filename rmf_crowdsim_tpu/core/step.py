@@ -184,6 +184,9 @@ def build_step(
         raise ValueError(
             "neighbor_backend='custom' requires a neighbor_fn"
         )
+    assert len(hl_planners) < 256 and len(lp_planners) < 256, (
+        "planner indices must fit the presort bit-pack"
+    )
 
     if config.neighbor_backend == BACKEND_GRID:
         window = config.grid.window_radius(config.max_eyesight)
@@ -260,29 +263,41 @@ def build_step(
             from ..ops.zanlungo_pallas import tile_key
 
             tkey = tile_key(bucket_cfg, state.position, state.alive)
+            # Sort cost scales with payload count (~0.5 ms per [1M]
+            # payload): the four small fields ride one packed i32
+            # (planner registries are < 256 by the build_step assert;
+            # alive/spawned are bits).
+            small = (
+                state.hl_idx
+                | (state.lp_idx << 8)
+                | (state.alive.astype(jnp.int32) << 16)
+                | (spawned.astype(jnp.int32) << 17)
+            )
             res = jax.lax.sort(
                 (
                     tkey,
                     state.position[:, 0], state.position[:, 1],
                     state.velocity[:, 0], state.velocity[:, 1],
                     state.preferred_vel[:, 0], state.preferred_vel[:, 1],
-                    state.next_waypoint, state.eyesight, state.alive,
-                    state.uid, state.source_id, state.hl_idx,
-                    state.lp_idx, state.route_id, state.route_wp,
-                    state.priority, spawned,
+                    state.next_waypoint, state.eyesight,
+                    state.uid, state.source_id, state.route_id,
+                    state.route_wp, state.priority, small,
                 ),
                 num_keys=1, is_stable=True,
             )
-            (_, px, py, vx, vy, fx, fy, nwp, eye, al, uidc, sid, hli,
-             lpi, rid, rwp, prio, spawned) = res
+            (_, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
+             prio, small) = res
             state = state.replace(
                 position=jnp.stack([px, py], axis=-1),
                 velocity=jnp.stack([vx, vy], axis=-1),
                 preferred_vel=jnp.stack([fx, fy], axis=-1),
-                next_waypoint=nwp, eyesight=eye, alive=al, uid=uidc,
-                source_id=sid, hl_idx=hli, lp_idx=lpi, route_id=rid,
-                route_wp=rwp, priority=prio,
+                next_waypoint=nwp, eyesight=eye,
+                alive=((small >> 16) & 1).astype(jnp.bool_),
+                uid=uidc, source_id=sid,
+                hl_idx=small & 0xFF, lp_idx=(small >> 8) & 0xFF,
+                route_id=rid, route_wp=rwp, priority=prio,
             )
+            spawned = ((small >> 17) & 1).astype(jnp.bool_)
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
         # High-level pass (lib.rs:263-273): vel starts at zero; a planner
