@@ -109,36 +109,24 @@ def make_body(stage: str, cfg, bcfg, zp, zp4):
             o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
             out = o[0, 0]
         elif stage == "unbucket":
-            from rmf_crowdsim_tpu.ops.compact_pallas import (
-                unbucketize_compact,
-            )
-
             c = presort(c)
             packed_t, bucket_pos, max_occ, dropped = buck(c)
             o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
             ok = (bucket_pos < bcfg.slots) & c["alive"]
-            vk, cover = unbucketize_compact(o, bucket_pos, N)
-            v = jax.lax.cond(
-                cover, lambda _: vk,
-                lambda _: o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)], 0)
-            v = jnp.where(ok[:, None], v, c["vel"])
+            v = jnp.where(ok[:, None],
+                          o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)],
+                          c["vel"])
             out = v[0, 0]
             c = dict(c)
             c["vel"] = v * 0.999 + c["vel"] * 0.001
         elif stage == "spill":
-            from rmf_crowdsim_tpu.ops.compact_pallas import (
-                unbucketize_compact,
-            )
-
             c = presort(c)
             packed_t, bucket_pos, max_occ, dropped = buck(c)
             o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
             ok = (bucket_pos < bcfg.slots) & c["alive"]
-            vk, cover = unbucketize_compact(o, bucket_pos, N)
-            v = jax.lax.cond(
-                cover, lambda _: vk,
-                lambda _: o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)], 0)
-            v = jnp.where(ok[:, None], v, c["vel"])
+            v = jnp.where(ok[:, None],
+                          o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)],
+                          c["vel"])
             v, unresolved = spill_patch(
                 bcfg, zp, c["pos"], c["vel"], c["pref"], c["pref"],
                 c["prio"], c["eye"], c["alive"], c["vel"], packed_t,

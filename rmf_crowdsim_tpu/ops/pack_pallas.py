@@ -47,18 +47,20 @@ _SENT_NP[0, ROW_ID] = -1.0
 ROW_BPOS = 13   # bucket slot of this row, as f32
 ROW_ONE = 15    # constant 1.0 on real rows (hit counting)
 
-# Geometry (round 3): fewer, larger streams — 1024-slot groups fed by
-# 512-row chunks issue 4x fewer DMAs than the original 512/256/4 at the
-# same 2x row-headroom (a fully-packed group is 1024 rows + 128-align
-# slack <= 3 * 512).  The one-hot compare/matmul work grows ~1.5x but
-# the pack kernel was DMA-issue bound (~12 of bucketize's 13.8 ms at 1M,
-# perf/step_parts.py).
-GROUP = 1024        # slots per kernel program
+# Geometry (round-3 A/B, perf/ab_pack.py at 1M: 512/256/4 = 12.4 ms,
+# 512/512/2 = 12.3, 1024/512/3 = 14.7): bigger GROUPs lose — the
+# [GROUP, CHUNK] one-hot compare work scales with GROUP and beats the
+# DMA-count savings.  512-slot groups with 512-row chunks keep the
+# original compare work at half the DMA issues.
+GROUP = 512         # slots per kernel program
 CHUNK = 512         # rows per inner DMA/matmul
-MAX_CHUNKS = 3      # rows streamed per group <= CHUNK * MAX_CHUNKS
+MAX_CHUNKS = 2      # rows streamed per group <= CHUNK * MAX_CHUNKS
 
 
-def _make_kernel(n_pad: int, slots: int):
+def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
+                 chunk_sz: int = CHUNK, max_chunks: int = MAX_CHUNKS):
+    GROUP, CHUNK, MAX_CHUNKS = group, chunk_sz, max_chunks
+
     def kernel(meta_ref, feat_t_any, sent_ref, out_ref, chunks, region, sem):
         # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
         # DMA lane offsets/extents to be 128-aligned, so row chunks are
@@ -144,7 +146,8 @@ def _make_kernel(n_pad: int, slots: int):
 
 
 def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
-                     interpret: bool = False):
+                     interpret: bool = False, group: int = None,
+                     chunk: int = None, max_chunks: int = None):
     """Pack sorted feature rows into the bucketed [slots, NUM_F] layout.
 
     feat_sorted: [N, NUM_F] f32 with ROW_BPOS/ROW_ONE columns already set;
@@ -153,6 +156,9 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     [] int32 — rows whose group row-window overflowed MAX_CHUNKS*CHUNK;
     nonzero means increase MAX_CHUNKS or bucket sizing is degenerate).
     """
+    GROUP = group or globals()["GROUP"]
+    CHUNK = chunk or globals()["CHUNK"]
+    MAX_CHUNKS = max_chunks or globals()["MAX_CHUNKS"]
     n = feat_sorted.shape[0]
     assert slots < (1 << 24), "slot ids must be exact in f32"
     slots_pad = ((slots + GROUP - 1) // GROUP) * GROUP
@@ -204,7 +210,7 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
         ],
     )
     packed = pl.pallas_call(
-        _make_kernel(n_pad, slots),
+        _make_kernel(n_pad, slots, GROUP, CHUNK, MAX_CHUNKS),
         out_shape=jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -1459,28 +1459,12 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret)
     ok = (bucket_pos < cfg.slots) & alive
-    if presorted:
-        # bucket_pos is monotone over (sorted) agents: the windowed
-        # one-hot compaction kernel replaces the ~10 ns/row XLA gather,
-        # falling back to it only when a block's slot span exceeds the
-        # kernel window (locally sparse packing — audited exactly).
-        from .compact_pallas import unbucketize_compact
-
-        vel_k, cover_ok = unbucketize_compact(
-            out, bucket_pos, position.shape[0], interpret=interpret
-        )
-
-        def from_kernel(_):
-            return vel_k
-
-        def from_gather(_):
-            return out[jnp.clip(bucket_pos, 0, cfg.slots - 1)]
-
-        vel = jax.lax.cond(cover_ok, from_kernel, from_gather, 0).astype(
-            dtype
-        )
-    else:
-        vel = out[jnp.clip(bucket_pos, 0, cfg.slots - 1)].astype(dtype)
+    # Plain row gather: with presort the indices are MONOTONE, which the
+    # hardware rewards (~5.4 ms at 1M vs ~10 for random order); a Pallas
+    # windowed one-hot compaction kernel measured SLOWER (8.8 ms,
+    # perf/ab_pack.py round 3) — window DMA + one-hot compare overhead
+    # exceeds the per-row gather cost it saves.  Don't retry.
+    vel = out[jnp.clip(bucket_pos, 0, cfg.slots - 1)].astype(dtype)
     vel = jnp.where(ok[:, None], vel, rec_vel)
     if spill_capacity > 0:
         # `dropped` from bucketize = bucket overflow + pack overflow; the

@@ -1,9 +1,8 @@
 """config.presort: tile-sorted state across steps (grid_pallas).  The
 SoA arrays are re-ordered every step (identity = uid), one lax.sort with
 the whole state as payloads replacing bucketize's permutation ops, and
-the monotone unbucketize kernel (ops/compact_pallas.py) replacing the
-per-row gather.  Physics must match the unsorted path, and the
-compaction must be bitwise vs the gather it replaces."""
+the monotone row gather back to agent order.  Physics must match the
+unsorted path."""
 
 import dataclasses
 
@@ -113,50 +112,3 @@ def test_presort_matches_unsorted_physics():
             np.asarray(getattr(ca, name)), np.asarray(getattr(cb, name)),
             err_msg=name,
         )
-
-
-def test_unbucketize_compact_bitwise_and_fallback():
-    """The monotone compaction kernel is bitwise vs the gather it
-    replaces, zeros unpacked rows, and reports cover_ok=False when a
-    block's slot span exceeds its window (sparse worst case)."""
-    from rmf_crowdsim_tpu.ops.compact_pallas import (
-        WIN, unbucketize_compact,
-    )
-    from rmf_crowdsim_tpu.ops.zanlungo_pallas import (
-        BucketConfig, bucketize, tile_key,
-    )
-
-    rng = np.random.default_rng(0)
-    n = 5000
-    side = 96.0
-    cfg = BucketConfig.create(side, side, (-side / 2, -side / 2), 2.0,
-                              bucket=32, strip_tiles=6, sub_tiles=2,
-                              tile_size=5.3)
-    pos = jnp.asarray(rng.uniform(-45, 45, (n, 2)), jnp.float32)
-    alive = jnp.asarray(rng.random(n) > 0.05)
-    pos = pos.at[:80].set(
-        jnp.asarray(rng.uniform(0, 1.5, (80, 2)), jnp.float32)
-    )  # hotspot: bucket overflow -> dropped agents interleaved
-    key = tile_key(cfg, pos, alive)
-    order = jnp.argsort(key, stable=True)
-    pos, alive = pos[order], alive[order]
-    vel = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
-    prio = jnp.arange(n, dtype=jnp.float32)
-    eye = jnp.full((n,), 2.0, jnp.float32)
-    _, bpos, _, dropped = bucketize(
-        cfg, pos, vel, vel, vel, prio, eye, vel, alive,
-        use_pack_kernel=True, presorted=True, interpret=True,
-    )
-    assert int(dropped) > 0
-    out = jnp.asarray(rng.standard_normal((cfg.slots, 2)), jnp.float32)
-    got, cover = unbucketize_compact(out, bpos, n, interpret=True)
-    assert bool(cover)
-    okm = np.asarray(bpos) < cfg.slots
-    want = np.asarray(out[jnp.clip(bpos, 0, cfg.slots - 1)])
-    assert np.array_equal(np.asarray(got)[okm], want[okm])
-    assert np.all(np.asarray(got)[~okm] == 0.0)
-
-    # Sparse worst case: two agents WIN+ slots apart in one block.
-    bpos2 = jnp.asarray([0, WIN + 256] + [cfg.slots] * 510, jnp.int32)
-    _, cover2 = unbucketize_compact(out, bpos2, 512, interpret=True)
-    assert not bool(cover2)
