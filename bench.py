@@ -246,7 +246,12 @@ def compiled_parity_check(n_agents: int = 4096, n_steps: int = 5):
         assert truncated == 0, (
             f"parity scene truncates {truncated} on {backend}"
         )
-        outs[backend] = np.asarray(st.position)
+        # Slot order is NOT comparable across backends: the presorted
+        # grid_pallas path keeps state tile-sorted between steps
+        # (core/step.py presort block) while brute keeps spawn order.
+        # Agent identity is uid — align on it before comparing.
+        order = np.argsort(np.asarray(st.uid))
+        outs[backend] = np.asarray(st.position)[order]
     np.testing.assert_allclose(
         outs["grid_pallas"], outs["brute"], rtol=2e-4, atol=2e-4,
         err_msg="compiled grid_pallas diverges from brute oracle on-device",

@@ -141,13 +141,55 @@ def grid_neighbors(
     # Diagnostic: densest cell actually queried (over in-window cells).
     occ = jnp.where(cell_ok, seg_len, 0)
     max_occ = jnp.max(occ).astype(jnp.int32)
-    # Enforcement counter: agents beyond ``max_per_cell`` in ANY cell never
+    # Enforcement counter: agents beyond ``max_per_cell`` in a cell never
     # enter a candidate set — silent physics truncation (the reference's
-    # cells are unbounded, location_hash_2d.rs:15).  Counted globally
-    # (conservative: includes cells nobody queries this step).
-    cell_counts = b.starts[1:] - b.starts[:-1]  # [n_cells]
-    truncated = jnp.sum(
+    # cells are unbounded, location_hash_2d.rs:15).  Two stages:
+    #   1. cheap conservative screen: total overflow over all cells
+    #      (runs every step, zero extra gathers);
+    #   2. only when that is nonzero, an exact audit (lax.cond, so clean
+    #      steps never pay for it): gather the dropped members' positions
+    #      and count only those actually inside some alive querier's
+    #      eyesight — a dense cluster nobody can see must NOT raise
+    #      (round-2 verdict: false alarm at on_truncation="raise").
+    # The audit distance-checks up to ``max(max_per_cell, 16)`` dropped
+    # members per cell; deeper overflow is counted conservatively.
+    cell_counts = b.starts[1:] - b.starts[:-1]  # [n_cells] (alive only)
+    overflow_total = jnp.sum(
         jnp.maximum(cell_counts - jnp.int32(max_per_cell), 0)
     ).astype(jnp.int32)
+
+    def _audit_impactful(_):
+        a_cap = max(max_per_cell, 16)  # audit margin: ranks [P, P+A)
+        ja = jnp.arange(a_cap, dtype=jnp.int32) + jnp.int32(max_per_cell)
+        s_pos = seg_start[:, :, None] + ja[None, None, :]  # [N, C, A]
+        in_seg = cell_ok[:, :, None] & (ja[None, None, :] < seg_len[:, :, None])
+        s_clip = jnp.clip(s_pos, 0, n - 1)
+        m_idx = b.order[s_clip]  # [N, C, A] dropped-member agent slots
+        d = jnp.linalg.norm(
+            position[:, None, None, :] - position[m_idx], axis=-1
+        )
+        me3 = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+        seen = (
+            in_seg
+            & (d < eyesight[:, None, None])
+            & alive[:, None, None]
+            & (m_idx != me3)
+        )
+        # A dropped member counts once if ANY querier sees it: OR over
+        # queriers via a max-scatter onto its sorted slot.
+        seen_slot = jnp.zeros((n,), jnp.bool_).at[s_clip.reshape(-1)].max(
+            seen.reshape(-1), mode="drop"
+        )
+        audited = jnp.sum(seen_slot).astype(jnp.int32)
+        # Beyond-audit remainder, counted conservatively.
+        rest = jnp.sum(
+            jnp.maximum(cell_counts - jnp.int32(max_per_cell + a_cap), 0)
+        ).astype(jnp.int32)
+        return audited + rest
+
+    truncated = jax.lax.cond(
+        overflow_total > 0, _audit_impactful,
+        lambda _: jnp.zeros((), jnp.int32), None,
+    )
     return NeighborSet(idx=idx, valid=valid, max_cell_occupancy=max_occ,
                        truncated=truncated)

@@ -60,6 +60,49 @@ def test_rollout_overflow_raises():
         sim.run(3, 1.0 / 60.0)
 
 
+def test_grid_overflow_nobody_sees_is_silent():
+    """Round-2 verdict weak #6: overflow whose dropped members sit beyond
+    every querier's eyesight has zero physics impact and must NOT raise.
+    Same 5-agent cluster (cap 2) but eyesight 0.1 < the 0.2 m spacing —
+    nobody can see anybody, so the audit finds no impactful drop."""
+    cfg = SimConfig(
+        capacity=64,
+        grid=GridConfig(100.0, 100.0, 5.0, (-50.0, -50.0)),
+        neighbor_backend="grid",
+        max_per_cell=2,
+        max_eyesight=5.0,
+        on_truncation="raise",
+    )
+    sim = Simulation(cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+    pts = [(1.0 + 0.2 * i, 1.0) for i in range(5)]
+    sim.add_agents(pts, hl, lp, 0.1)  # eyesight 0.1
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 0
+
+
+def test_grid_overflow_partially_seen_counts_seen_only():
+    """Mixed case: the cluster is blind (eyesight 0.1) but one far-seeing
+    agent stands in the next cell ~4.5 m away — the 3 dropped members are
+    inside ITS eyesight, so all 3 count as impactful."""
+    cfg = SimConfig(
+        capacity=64,
+        grid=GridConfig(100.0, 100.0, 5.0, (-50.0, -50.0)),
+        neighbor_backend="grid",
+        max_per_cell=2,
+        max_eyesight=5.0,
+        on_truncation="ignore",
+    )
+    sim = Simulation(cfg)
+    hl = ConstantVelocity((0.1, 0.0))
+    lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+    sim.add_agents([(1.0 + 0.2 * i, 1.0) for i in range(5)], hl, lp, 0.1)
+    sim.add_agents([(6.0, 1.0)], hl, lp, 5.0)  # the watcher (next cell)
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 3
+
+
 def test_no_overflow_is_silent():
     sim = _dense_sim("raise", max_per_cell=8)
     sim.step(1.0 / 60.0)
