@@ -63,15 +63,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Feature rows in the packed array.
+# Feature rows in the packed array.  Rows 0..7 are exactly the
+# CANDIDATE-side features (what pair math reads about neighbors,
+# zanlungo.rs:93-170): the force kernel's strip DMA, VMEM scratch and
+# compaction matmuls move only this 8-row half — one (8, 128) Mosaic
+# sublane tile — while queries read the full 16 from the untransposed
+# array.  Keep any new candidate feature below NUM_CAND.
 ROW_PX, ROW_PY = 0, 1       # position
 ROW_VX, ROW_VY = 2, 3       # velocity
 ROW_FX, ROW_FY = 4, 5       # committed preferred velocity (what neighbors
 #                             observe — see models/local.py LocalPlanner)
 ROW_PRIO = 6                # right-of-way priority
-ROW_EYE = 7                 # eyesight radius (query side)
+ROW_ID = 7                  # slot id (exact in f32; -1 = empty)
+NUM_CAND = 8                # candidate rows: [0, NUM_CAND)
 ROW_RX, ROW_RY = 8, 9       # recommended velocity (query side)
-ROW_ID = 10                 # slot id (exact in f32; -1 = empty)
+ROW_EYE = 10                # eyesight radius (query side)
 ROW_SPX, ROW_SPY = 11, 12   # own fresh preferred velocity (query side)
 ROW_ONE = 15                # constant 1.0 on real rows (fill counter)
 # Padded to 16 rows: Mosaic requires DMA slice extents in the sublane
@@ -281,10 +287,10 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             pref_committed[:, 0].astype(f32),
             pref_committed[:, 1].astype(f32),
             priority.astype(f32),
-            eyesight.astype(f32),
+            jnp.arange(n, dtype=f32),
             rec_vel[:, 0].astype(f32),
             rec_vel[:, 1].astype(f32),
-            jnp.arange(n, dtype=f32),
+            eyesight.astype(f32),
             self_pref[:, 0].astype(f32),
             self_pref[:, 1].astype(f32),
             jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
@@ -534,7 +540,9 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
         #   - queries/outputs ride the SUBLANE dim of transposed arrays
         #     ([slots, NUM_F] / [slots, 2]) where bucket-granular offsets
         #     (multiples of 8) are legal.
-        # strip_vmem: [3, NUM_F, W_EXT] strip-resident column segments.
+        # strip_vmem: [3, NUM_CAND, W_EXT] strip-resident column segments
+        # — only the 8 candidate feature rows (one Mosaic sublane tile);
+        # query-side rows never ride the candidate strips.
         px = pl.program_id(0)
         ps = pl.program_id(1)
         py0 = ps * strip
@@ -547,6 +555,10 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
         # (three whole-strip column segments), not three per sub-block —
         # per-transfer DMA latency at ~2 us dominated the kernel when
         # issued 3x per 64-query sub-block (measured ~60 of 82 ms at 1M).
+        # NOTE: double-buffering these across the sequential grid (each
+        # program prefetching its successor's strips) measured EXACTLY
+        # cost-neutral at 1M (45.9 vs 45.9 ms) — the blocking wait is off
+        # the critical path at ~720 programs; don't retry.
         # Column-local aligned base covering tiles [py0 - 1, py0 + strip
         # + 1) (clipped; W_EXT is sized for the worst misalignment).
         base_l = jnp.clip(((py0 * B - B) // 128) * 128, 0,
@@ -742,7 +754,7 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
                 )                                        # [C, 3C]
                 w_all = jnp.concatenate(
                     [rolled[k][:, :C] for k in range(3)], axis=1
-                )                                        # [NUM_F, 3C]
+                )                                        # [NUM_CAND, 3C]
                 # NOTE: the transposed orientation (p_t @ w_all.T ->
                 # [C, NUM_F], full MXU M-utilization, then .T back)
                 # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
@@ -771,17 +783,23 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
 
                 w_hi, w_mid, w_lo = split3(w_all)
                 comp = (dot_d(w_hi, p_t) + dot_d(w_mid, p_t)) \
-                    + dot_d(w_lo, p_t)                   # [NUM_F, C]
+                    + dot_d(w_lo, p_t)                   # [NUM_CAND, C]
                 # Unfilled lanes summed nothing (all-zero feature rows,
                 # position (0,0) — a real place): blend in the sentinel
-                # row so the mask below kills them.
-                ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_F, 1), 0)
+                # row so the mask below kills them.  Compacted ranks are
+                # DENSE (0..count-1), so "filled" is simply lane < count
+                # — no ROW_ONE compaction needed.
+                ri = jax.lax.broadcasted_iota(
+                    jnp.int32, (NUM_CAND, 1), 0
+                )
                 sent = jnp.where(
                     (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
                     jnp.where(ri == ROW_ID, -1.0, 0.0),
                 )
-                filled = comp[ROW_ONE:ROW_ONE + 1, :]  # 1.0 on real rows
-                comp = comp + (1.0 - filled) * sent
+                unfilled = jnp.where(
+                    lane_iota < count.astype(jnp.int32), 0.0, 1.0
+                )                                        # [1, C]
+                comp = comp + unfilled * sent
 
                 def ccrow(r):
                     return comp[r:r + 1, :]
@@ -852,16 +870,18 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, NUM_F, w_ext), jnp.float32),
+            pltpu.VMEM((3, NUM_CAND, w_ext), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    # Candidate strips carry only the 8 candidate feature rows — half
+    # the DMA traffic and compaction-matmul M-dim of the full layout.
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32), packed_t.T, packed_t)
+    )(zparams4.astype(jnp.float32), packed_t[:, :NUM_CAND].T, packed_t)
 
 
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
@@ -919,17 +939,19 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
         0, ty - 1)
 
     is_spill = alive & (bucket_pos >= cfg.slots)
-    n_spill = jnp.sum(is_spill.astype(jnp.int32))
 
-    # Compact spill agent indices.
-    rank = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
-    keep = is_spill & (rank < s_cap)
-    tgt = jnp.where(keep, rank, jnp.int32(s_cap))
-    spill_idx = jnp.full((s_cap,), n, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
+    # Compact spill agent indices.  The k-th spill's index is found by
+    # binary search on the inclusive prefix count — an [s_cap]-query
+    # searchsorted over [N], NOT the [N]-update scatter formulation
+    # (XLA scatters pay ~137 ns/update regardless of how few land,
+    # ~6 ms at 1M every step; cumsum is ~0.2 ms — DESIGN_NOTES.md).
+    csum = jnp.cumsum(is_spill.astype(jnp.int32))
+    n_spill = csum[-1]
+    spill_idx = jnp.searchsorted(
+        csum, jnp.arange(1, s_cap + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
     spill_valid = spill_idx < n
-    spill_over = n_spill - jnp.sum(keep.astype(jnp.int32))
+    spill_over = jnp.maximum(n_spill - jnp.int32(s_cap), 0)
     sc = jnp.clip(spill_idx, 0, n - 1)
     sp_tcx = jnp.where(spill_valid, tcx[sc], 1)
     sp_tcy = jnp.where(spill_valid, tcy[sc], 1)
@@ -950,20 +972,63 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
         n_spill <= cap (the compaction fills in order)."""
 
         def tier(v):
-            out, q_id, _q_slots = _spill_groups(
+            out, q_id, q_slots = _spill_groups(
                 cfg, zp, packed_t,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 sp_tcx[:cap], sp_tcy[:cap], spill_valid[:cap], chunk,
                 interpret=interpret,
             )
-            # Overwrite patched rows (overlapping groups recompute
-            # identical values — scatter order irrelevant).  q_id carries
-            # ROW_ID = agent indices here.
+            # Overwrite AFFECTED rows only: a window query's force sum
+            # changed iff some spill sits strictly within its eyesight
+            # (the pair mask, location_hash_2d.rs:251) — unaffected
+            # queries keep their (identical, and bitwise-so) kernel
+            # values, and the scatter shrinks from cap*(9b+1) rows to
+            # the ~dozen per spill (XLA scatters pay ~137 ns/update
+            # whether or not they land).  q_id carries ROW_ID = agent
+            # indices here.
             q_agent = q_id.astype(jnp.int32)
-            scatter_idx = jnp.where(q_agent >= 0, q_agent, n).reshape(-1)
-            return v.at[scatter_idx].set(
-                out.reshape(-1, 2).astype(v.dtype), mode="drop"
-            )
+            qrows = packed_t[
+                jnp.clip(q_slots, 0, cfg.slots - 1).reshape(-1)
+            ]
+            nq = q_id.shape[1]
+            qpx = qrows[:, ROW_PX].reshape(cap, nq - 1)
+            qpy = qrows[:, ROW_PY].reshape(cap, nq - 1)
+            qeye = qrows[:, ROW_EYE].reshape(cap, nq - 1)
+            d2s = ((qpx - sp["pos"][:cap, 0:1]) ** 2
+                   + (qpy - sp["pos"][:cap, 1:2]) ** 2)
+            aff = jnp.concatenate(
+                [(d2s < qeye * qeye) & spill_valid[:cap, None],
+                 spill_valid[:cap, None]], axis=1,
+            ) & (q_agent >= 0)
+            flat_aff = aff.reshape(-1)
+            flat_tgt = jnp.where(flat_aff, q_agent.reshape(-1), n)
+            flat_out = out.reshape(-1, 2)
+            n_aff = jnp.sum(flat_aff.astype(jnp.int32))
+
+            k_aff = min(32 * cap, flat_aff.shape[0])
+
+            def compacted(vv):
+                acs = jnp.cumsum(flat_aff.astype(jnp.int32))
+                pick = jnp.searchsorted(
+                    acs, jnp.arange(1, k_aff + 1, dtype=jnp.int32),
+                    side="left",
+                ).astype(jnp.int32)
+                ok = pick < flat_aff.shape[0]
+                src = jnp.clip(pick, 0, flat_aff.shape[0] - 1)
+                tgt = jnp.where(ok, flat_tgt[src], n)
+                return vv.at[tgt].set(
+                    flat_out[src].astype(vv.dtype), mode="drop"
+                )
+
+            def full_scatter(vv):
+                # Dense-hotspot fallback: more affected rows than the
+                # compaction covers — scatter the whole window set
+                # (idempotent recomputes, so over-writing is exact).
+                return vv.at[flat_tgt].set(
+                    flat_out.astype(vv.dtype), mode="drop"
+                )
+
+            return jax.lax.cond(n_aff <= k_aff, compacted, full_scatter, v)
 
         return tier
 
@@ -1143,10 +1208,11 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
 
     Data routing (Mosaic DMA rules: lane slices 128-aligned, sublane
     8-aligned): CANDIDATES need lane-major rows -> 5 manual DMAs of the
-    transposed packed array, 128-align-down + roll; QUERIES need
-    sublane-major rows -> nine (bucket, NUM_F) BlockSpec inputs on the
-    untransposed packed array, indexed per-program via scalar prefetch
-    (tile offsets are bucket-granular by construction)."""
+    transposed packed array's 8 candidate rows (one sublane tile),
+    128-align-down + roll; QUERIES need sublane-major rows -> nine
+    (bucket, NUM_F) BlockSpec inputs on the untransposed packed array,
+    indexed per-program via scalar prefetch (tile offsets are
+    bucket-granular by construction)."""
     b = cfg.bucket
     run = 5 * b
     qc = 3 * b                    # queries per window column (one chunk)
@@ -1177,8 +1243,8 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
         for k in range(5):
             cand_dma(k).wait()
 
-        # Candidate row: [NUM_F, 5*run + cap_pad], lane order identical
-        # to the XLA version's win.reshape + spill-list concat.
+        # Candidate row: [NUM_CAND, 5*run + cap_pad], lane order
+        # identical to the XLA version's win.reshape + spill-list concat.
         pieces = []
         for k in range(5):
             w = wins[k]
@@ -1190,7 +1256,7 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
             )
             pieces.append(w[:, :run])
         pieces.append(spt_ref[...])
-        cand = jnp.concatenate(pieces, axis=1)      # [NUM_F, CW]
+        cand = jnp.concatenate(pieces, axis=1)      # [NUM_CAND, CW]
 
         def crow(r):
             return cand[r:r + 1, :]
@@ -1248,7 +1314,7 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
     """Pallas path for the WINDOW-query part of :func:`_spill_groups`:
     out_win [S, 9b, 2] velocities for the spill's 3x3-tile queries (rows
     for empty/invalid slots are garbage — callers mask by q_id).  sp_t:
-    [NUM_F, cap_pad] spill features, id -1 on dead rows."""
+    [NUM_CAND, cap_pad] spill candidate features, id -1 on dead rows."""
     b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
     cap = sp_tcx.shape[0]
     cap_pad = sp_t.shape[1]
@@ -1283,7 +1349,7 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             *[qspec(k) for k in range(9)],
-            pl.BlockSpec((NUM_F, cap_pad), lambda p, *_: (0, 0),
+            pl.BlockSpec((NUM_CAND, cap_pad), lambda p, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda p, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1293,7 +1359,7 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((5, NUM_F, ext), jnp.float32),
+            pltpu.VMEM((5, NUM_CAND, ext), jnp.float32),
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )
@@ -1303,7 +1369,7 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
         out_shape=jax.ShapeDtypeStruct((cap * q_len, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(meta, packed_t.T, *([packed_t] * 9), sp_t, zp8)
+    )(meta, packed_t[:, :NUM_CAND].T, *([packed_t] * 9), sp_t, zp8)
     return out.reshape(cap, q_len, 2)
 
 
@@ -1355,7 +1421,8 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
     sp_rows = sp_rows.at[:s_cap, ROW_ID].set(sp["id"])
 
     out_win = _spill_groups_window_pallas(
-        cfg, zp5, packed_t, sp_rows.T, sp_tcx, sp_tcy, interpret,
+        cfg, zp5, packed_t, sp_rows[:, :NUM_CAND].T, sp_tcx, sp_tcy,
+        interpret,
     )                                                        # [S, 9b, 2]
 
     # Window-query bookkeeping (identical to the XLA version).

@@ -105,20 +105,28 @@ class WorldDiag:
 
 
 def _compact_rows(mask, k: int, arrays: dict):
-    """Scatter ``arrays[mask]`` into fixed-``k`` buffers (rank order).
+    """Gather ``arrays[mask]`` into fixed-``k`` buffers (rank order).
     Returns (records dict with int rows -1-filled / float rows 0-filled,
-    n_over)."""
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    keep = mask & (rank < k)
-    tgt = jnp.where(keep, rank, jnp.int32(k))
+    n_over).  The k-th masked row is found by searchsorted on the prefix
+    count + a [k]-row gather per field — NOT a full-length scatter
+    (~137 ns/update in XLA regardless of how few land, DESIGN_NOTES.md).
+    """
+    m = mask.shape[0]
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    idx = jnp.searchsorted(
+        csum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    valid = idx < m
+    safe = jnp.clip(idx, 0, m - 1)
     out = {}
     for name, arr in arrays.items():
         if jnp.issubdtype(arr.dtype, jnp.integer):
-            base = jnp.full((k,) + arr.shape[1:], -1, arr.dtype)
+            fill = jnp.asarray(-1, arr.dtype)
         else:
-            base = jnp.zeros((k,) + arr.shape[1:], arr.dtype)
-        out[name] = base.at[tgt].set(arr, mode="drop")
-    n_over = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+            fill = jnp.asarray(0, arr.dtype)
+        vmask = valid.reshape((k,) + (1,) * (arr.ndim - 1))
+        out[name] = jnp.where(vmask, arr[safe], fill)
+    n_over = jnp.maximum(csum[-1] - jnp.int32(k), 0)
     return out, n_over
 
 
@@ -412,15 +420,15 @@ def build_world_step(
         from ..ops.zanlungo_pallas import _spill_groups
 
         is_spill = st.alive & (bucket_pos >= ext_cfg.slots)
-        n_spill = jnp.sum(is_spill.astype(jnp.int32), dtype=jnp.int32)
-        rank = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
-        keep = is_spill & (rank < s_cap)
-        tgt = jnp.where(keep, rank, jnp.int32(s_cap))
-        sp_idx = jnp.full((s_cap,), m, jnp.int32).at[tgt].set(
-            jnp.arange(m, dtype=jnp.int32), mode="drop"
-        )
+        # k-th spill via searchsorted on the prefix count — not an
+        # [m]-update scatter (~137 ns/update, DESIGN_NOTES.md).
+        csum = jnp.cumsum(is_spill.astype(jnp.int32))
+        n_spill = csum[-1]
+        sp_idx = jnp.searchsorted(
+            csum, jnp.arange(1, s_cap + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
         sp_valid = sp_idx < m
-        n_over = n_spill - jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
+        n_over = jnp.maximum(n_spill - jnp.int32(s_cap), 0)
         sc = jnp.clip(sp_idx, 0, m - 1)
 
         f32 = jnp.float32

@@ -107,7 +107,8 @@ def test_bucketize_roundtrip():
     packed = np.asarray(packed)
     bpos = np.asarray(bpos)
     alive_np = np.asarray(alive)
-    ids = packed[:, 10]  # ROW_ID column (packed is [slots, NUM_F])
+    from rmf_crowdsim_tpu.ops.zanlungo_pallas import ROW_ID
+    ids = packed[:, ROW_ID]  # (packed is [slots, NUM_F])
     live_slots = ids[ids >= 0].astype(int)
     assert sorted(live_slots) == sorted(np.flatnonzero(alive_np).tolist())
     for i in np.flatnonzero(alive_np):
