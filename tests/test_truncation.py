@@ -172,3 +172,61 @@ def test_brute_backend_never_truncates():
     sim.add_agents([(0.0, 0.0), (0.1, 0.0), (0.2, 0.0)], hl, lp, 5.0)
     sim.step(1.0 / 60.0)
     assert int(sim.last_events.neighbor_truncated) == 0
+
+
+def test_pallas_spill_dense_hotspot_full_scatter_branch():
+    """Dense-hotspot spill repair parity through the FULL-SCATTER branch.
+
+    The spill patch's final write normally scatters only the queries
+    within eyesight of some spill (the ``compacted`` branch, capped at
+    32 rows per spill group); when a hotspot affects more rows than
+    that, a ``lax.cond`` falls back to scattering every window query
+    (``full_scatter`` in ops/zanlungo_pallas.spill_patch).  This scene
+    crosses the cap BY CONSTRUCTION: 60 agents blob in one 6 m tile of
+    bucket capacity 8 (exactly 52 spills -> the 64-cap tier, affected
+    cap 32*64 = 2048) plus 8 ring tiles of exactly 8 agents each, all
+    within the 6 m eyesight of every spill, so affected rows =
+    52 * (9*8 + 1) = 3796 > 2048.  Physics must still match the brute
+    backend exactly (zanlungo.rs:49-218 semantics, repair doctrine of
+    location_hash_2d.rs:275-306)."""
+    hotspot = [(15.0 + 0.3 * np.cos(2 * np.pi * i / 60.0),
+                15.0 + 0.3 * np.sin(2 * np.pi * i / 60.0) + 0.002 * i)
+               for i in range(60)]
+    # Tile (2, 2) covers [12, 18)^2; for each of the 8 neighbor tiles,
+    # 8 agents at the point of that tile nearest the blob, nudged 0.5 m
+    # inside — every ring agent is <= 5.1 m from every blob agent
+    # (eyesight 6), and each ring tile holds exactly bucket_capacity.
+    ring = []
+    for bx, by in ((11.5, 11.5), (15.0, 11.5), (18.5, 11.5),
+                   (11.5, 15.0), (18.5, 15.0),
+                   (11.5, 18.5), (15.0, 18.5), (18.5, 18.5)):
+        ring += [(bx + 0.04 * j, by + 0.03 * j) for j in range(8)]
+    pts = hotspot + ring
+
+    def make(backend, **kw):
+        cfg = SimConfig(
+            capacity=160,
+            grid=GridConfig(36.0, 36.0, 2.0, (0.0, 0.0)),
+            neighbor_backend=backend,
+            max_per_cell=64,
+            max_eyesight=6.0,
+            on_truncation="raise",
+            **kw,
+        )
+        sim = Simulation(cfg)
+        hl = ConstantVelocity((0.1, 0.0))
+        lp = Zanlungo(1.0, 1.0, 0.0, 1.0, 2.0, 0.25, force_cap=5.0)
+        sim.add_agents(pts, hl, lp, 6.0)
+        return sim
+
+    sim = make("grid_pallas", bucket_capacity=8, bucket_tile_size=6.0,
+               strip_tiles=6, sub_tiles=14, pallas_interpret=True,
+               spill_capacity=64)
+    sim.step(1.0 / 60.0)
+    assert int(sim.last_events.neighbor_truncated) == 0
+
+    ref = make("brute")
+    ref.step(1.0 / 60.0)
+    got = np.asarray([sim.agents[k].position for k in sorted(sim.agents)])
+    want = np.asarray([ref.agents[k].position for k in sorted(ref.agents)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
