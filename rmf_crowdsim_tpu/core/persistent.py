@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.compact import compact_indices
 from ..ops.zanlungo_pallas import (
     NUM_F,
     ROW_EYE,
@@ -96,17 +97,12 @@ def _extract_spills(rows, row_dest, slots: int, s_cap: int):
     n_in = rows.shape[0]
     alive = rows[:, ROW_ID] >= 0
     over = alive & (row_dest >= slots)
-    csum = jnp.cumsum(over.astype(jnp.int32))
-    rank = csum - 1
+    rank = jnp.cumsum(over.astype(jnp.int32)) - 1
     keep = over & (rank < s_cap)
 
-    # k-th overflow row via searchsorted on the prefix count + an
-    # [s_cap]-row gather — NOT an [n_in]-update scatter (~137 ns/update
-    # in XLA regardless of how few land, DESIGN_NOTES.md).
-    idx = jnp.searchsorted(
-        csum, jnp.arange(1, s_cap + 1, dtype=csum.dtype), side="left"
-    ).astype(jnp.int32)
-    valid = idx < n_in
+    # k-th overflow row via the scatter-free compaction (ops/compact.py).
+    c = compact_indices(over, s_cap)
+    idx, valid = c.idx, c.valid
 
     sent = jnp.zeros((s_cap, NUM_F), jnp.float32)
     sent = sent.at[:, ROW_PX].set(1e30)

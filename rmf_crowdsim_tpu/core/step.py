@@ -266,12 +266,15 @@ def build_step(
             # Sort cost scales with payload count (~0.5 ms per [1M]
             # payload): the four small fields ride one packed i32
             # (planner registries are < 256 by the build_step assert;
-            # alive/spawned are bits).
+            # alive/spawned are bits).  hl_idx/lp_idx carry a -1 "none"
+            # sentinel (make_state fills dead slots with it), so each
+            # packs +1-BIASED into 9 bits — OR-ing a raw -1 would set
+            # every bit and resurrect dead slots as alive.
             small = (
-                state.hl_idx
-                | (state.lp_idx << 8)
-                | (state.alive.astype(jnp.int32) << 16)
-                | (spawned.astype(jnp.int32) << 17)
+                (state.hl_idx + 1)
+                | ((state.lp_idx + 1) << 9)
+                | (state.alive.astype(jnp.int32) << 18)
+                | (spawned.astype(jnp.int32) << 19)
             )
             res = jax.lax.sort(
                 (
@@ -292,12 +295,13 @@ def build_step(
                 velocity=jnp.stack([vx, vy], axis=-1),
                 preferred_vel=jnp.stack([fx, fy], axis=-1),
                 next_waypoint=nwp, eyesight=eye,
-                alive=((small >> 16) & 1).astype(jnp.bool_),
+                alive=((small >> 18) & 1).astype(jnp.bool_),
                 uid=uidc, source_id=sid,
-                hl_idx=small & 0xFF, lp_idx=(small >> 8) & 0xFF,
+                hl_idx=(small & 0x1FF) - 1,
+                lp_idx=((small >> 9) & 0x1FF) - 1,
                 route_id=rid, route_wp=rwp, priority=prio,
             )
-            spawned = ((small >> 17) & 1).astype(jnp.bool_)
+            spawned = ((small >> 19) & 1).astype(jnp.bool_)
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
         # High-level pass (lib.rs:263-273): vel starts at zero; a planner
@@ -489,24 +493,17 @@ class EventStream:
 
 def _compact_events(mask, uid, k: int, pos=None):
     """Compact ``uid[mask]`` (and optionally positions) into fixed-``k``
-    rows, first-slot-first.  Returns (uid_k, pos_k | None, n_dropped).
-    The r-th event's slot is found by searchsorted on the prefix count
-    plus a [k]-row gather, not an [N]-update scatter (~137 ns/update in
-    XLA regardless of how few land, DESIGN_NOTES.md)."""
-    n = mask.shape[0]
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    idx = jnp.searchsorted(
-        csum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    valid = idx < n
-    safe = jnp.clip(idx, 0, n - 1)
-    uid_k = jnp.where(valid, uid[safe].astype(jnp.int32), -1)
+    rows, first-slot-first.  Returns (uid_k, pos_k | None, n_dropped)."""
+    from ..ops.compact import compact_indices
+
+    c = compact_indices(mask, k)
+    safe = jnp.clip(c.idx, 0, mask.shape[0] - 1)
+    uid_k = jnp.where(c.valid, uid[safe].astype(jnp.int32), -1)
     pos_k = None
     if pos is not None:
-        pos_k = jnp.where(valid[:, None], pos[safe],
+        pos_k = jnp.where(c.valid[:, None], pos[safe],
                           jnp.zeros((), pos.dtype))
-    dropped = jnp.maximum(csum[-1] - jnp.int32(k), 0)
-    return uid_k, pos_k, dropped
+    return uid_k, pos_k, c.n_over
 
 
 def build_rollout(

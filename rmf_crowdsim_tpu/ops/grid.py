@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import GridConfig
+from .compact import compact_indices
 from .neighbors import NeighborSet
 
 
@@ -159,32 +160,49 @@ def grid_neighbors(
     ).astype(jnp.int32)
 
     def _audit_impactful(_):
-        a_cap = max(max_per_cell, 16)  # audit margin: ranks [P, P+A)
-        ja = jnp.arange(a_cap, dtype=jnp.int32) + jnp.int32(max_per_cell)
-        s_pos = seg_start[:, :, None] + ja[None, None, :]  # [N, C, A]
-        in_seg = cell_ok[:, :, None] & (ja[None, None, :] < seg_len[:, :, None])
-        s_clip = jnp.clip(s_pos, 0, n - 1)
-        m_idx = b.order[s_clip]  # [N, C, A] dropped-member agent slots
+        # MEMBER-centric: enumerate the dropped members directly (rank
+        # >= max_per_cell within their cell, compacted to k_aud rows)
+        # and look for seers in each member's own cell window — the
+        # query-centric formulation materialized [N, C, A] pair tensors
+        # (multi-GB at 1M agents) the moment a single cell overflowed.
+        # Window symmetry makes this exact: (a) guarantees any seer q
+        # of member m has m's cell inside q's window, hence q's cell
+        # inside m's window.  [k_aud, C, r_cap] is a few hundred KB.
+        k_aud = min(n, 1024)
+        r_cap = max_per_cell + max(max_per_cell, 16)  # seer ranks/cell
+        sent_ok = b.sorted_cid < jnp.int32(grid.n_cells)
+        seg0 = b.starts[jnp.clip(b.sorted_cid, 0, grid.n_cells - 1)]
+        rank_sorted = jnp.arange(n, dtype=jnp.int32) - seg0
+        dropped_sorted = sent_ok & (rank_sorted >= jnp.int32(max_per_cell))
+        ca = compact_indices(dropped_sorted, k_aud)
+        valid_m = ca.valid
+        m_idx = b.order[jnp.clip(ca.idx, 0, n - 1)]    # [K] agent slots
+        mx = b.cx[m_idx][:, None] + dx[None, :]        # [K, C]
+        my = b.cy[m_idx][:, None] + dy[None, :]
+        m_ok = (mx >= 0) & (mx < grid.nx) & (my >= 0) & (my < grid.ny)
+        m_cid = jnp.where(
+            m_ok, cell_id(grid, jnp.clip(mx, 0, grid.nx - 1),
+                          jnp.clip(my, 0, grid.ny - 1)), 0)
+        w0 = b.starts[m_cid]                           # [K, C]
+        wlen = b.starts[m_cid + 1] - w0
+        jr = jnp.arange(r_cap, dtype=jnp.int32)
+        q_sorted = w0[:, :, None] + jr[None, None, :]  # [K, C, R]
+        q_in = m_ok[:, :, None] & (jr[None, None, :] < wlen[:, :, None])
+        q_idx = b.order[jnp.clip(q_sorted, 0, n - 1)]  # [K, C, R]
         d = jnp.linalg.norm(
-            position[:, None, None, :] - position[m_idx], axis=-1
+            position[m_idx][:, None, None, :] - position[q_idx], axis=-1
         )
-        me3 = jnp.arange(n, dtype=jnp.int32)[:, None, None]
-        seen = (
-            in_seg
-            & (d < eyesight[:, None, None])
-            & alive[:, None, None]
-            & (m_idx != me3)
+        seen_by = (
+            q_in
+            & (d < eyesight[q_idx])
+            & (q_idx != m_idx[:, None, None])
         )
-        # A dropped member counts once if ANY querier sees it: OR over
-        # queriers via a max-scatter onto its sorted slot.
-        seen_slot = jnp.zeros((n,), jnp.bool_).at[s_clip.reshape(-1)].max(
-            seen.reshape(-1), mode="drop"
-        )
-        audited = jnp.sum(seen_slot).astype(jnp.int32)
-        # Beyond-audit remainder, counted conservatively.
-        rest = jnp.sum(
-            jnp.maximum(cell_counts - jnp.int32(max_per_cell + a_cap), 0)
-        ).astype(jnp.int32)
+        # Seers past the examined ranks, and members past the audit cap:
+        # counted conservatively (the raising direction, as before).
+        deep = jnp.any(m_ok & (wlen > jnp.int32(r_cap)), axis=1)
+        seen_m = valid_m & (jnp.any(seen_by, axis=(1, 2)) | deep)
+        audited = jnp.sum(seen_m).astype(jnp.int32)
+        rest = jnp.maximum(overflow_total - jnp.int32(k_aud), 0)
         return audited + rest
 
     truncated = jax.lax.cond(

@@ -63,6 +63,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compact import compact_indices
+
 # Feature rows in the packed array.  Rows 0..7 are exactly the
 # CANDIDATE-side features (what pair math reads about neighbors,
 # zanlungo.rs:93-170): the force kernel's strip DMA, VMEM scratch and
@@ -940,18 +942,12 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
 
     is_spill = alive & (bucket_pos >= cfg.slots)
 
-    # Compact spill agent indices.  The k-th spill's index is found by
-    # binary search on the inclusive prefix count — an [s_cap]-query
-    # searchsorted over [N], NOT the [N]-update scatter formulation
-    # (XLA scatters pay ~137 ns/update regardless of how few land,
-    # ~6 ms at 1M every step; cumsum is ~0.2 ms — DESIGN_NOTES.md).
-    csum = jnp.cumsum(is_spill.astype(jnp.int32))
-    n_spill = csum[-1]
-    spill_idx = jnp.searchsorted(
-        csum, jnp.arange(1, s_cap + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    spill_valid = spill_idx < n
-    spill_over = jnp.maximum(n_spill - jnp.int32(s_cap), 0)
+    # Compact spill agent indices — scatter-free (ops/compact.py; XLA
+    # scatters pay ~137 ns/update regardless of how few land, ~6 ms at
+    # 1M every step; cumsum is ~0.2 ms — DESIGN_NOTES.md).
+    c_sp = compact_indices(is_spill, s_cap)
+    n_spill, spill_idx = c_sp.count, c_sp.idx
+    spill_valid, spill_over = c_sp.valid, c_sp.n_over
     sc = jnp.clip(spill_idx, 0, n - 1)
     sp_tcx = jnp.where(spill_valid, tcx[sc], 1)
     sp_tcy = jnp.where(spill_valid, tcy[sc], 1)
@@ -1008,14 +1004,9 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
             k_aff = min(32 * cap, flat_aff.shape[0])
 
             def compacted(vv):
-                acs = jnp.cumsum(flat_aff.astype(jnp.int32))
-                pick = jnp.searchsorted(
-                    acs, jnp.arange(1, k_aff + 1, dtype=jnp.int32),
-                    side="left",
-                ).astype(jnp.int32)
-                ok = pick < flat_aff.shape[0]
-                src = jnp.clip(pick, 0, flat_aff.shape[0] - 1)
-                tgt = jnp.where(ok, flat_tgt[src], n)
+                c_aff = compact_indices(flat_aff, k_aff)
+                src = jnp.clip(c_aff.idx, 0, flat_aff.shape[0] - 1)
+                tgt = jnp.where(c_aff.valid, flat_tgt[src], n)
                 return vv.at[tgt].set(
                     flat_out[src].astype(vv.dtype), mode="drop"
                 )
@@ -1055,10 +1046,14 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
 
 def _spill_groups_xla(cfg: BucketConfig, zp, packed_t, sp: dict,
                       sp_tcx, sp_tcy, spill_valid, chunk: int):
-    """Pure-XLA spill-group evaluation (the parity oracle for the Pallas
-    path below; also used under interpret-less CPU paths).  Materializes
-    [chunk, 9b+1, 5*run+cap] pair tensors through HBM — ~16 ms at the
-    1M bench's 64-spill tier (perf/step_parts.py).
+    """Pure-XLA spill-group evaluation: the parity oracle for the Pallas
+    path below (tests/test_zanlungo_pallas.py routes the full patch
+    through it) and the live fallback for hand-built BucketConfigs whose
+    packed plane is narrower than one aligned window DMA (see
+    _spill_groups).  Materializes [chunk, 9b+1, 5*run+cap] pair tensors
+    through HBM — ~16 ms at the 1M bench's 64-spill tier and measured
+    SLOWER than the Pallas path even at 10k-agent scale (186 vs 269
+    steps/s, DESIGN_NOTES.md), so it is not a production path.
 
     Shared by the agent-space patch above
     and the slot-space persistent-rollout patch (core/persistent.py).
@@ -1392,6 +1387,18 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
         "the spill machinery needs a >= 5x5-tile world (set "
         "spill_capacity=0 for smaller worlds)"
     )
+    # The window kernel's aligned candidate DMA reads ``ext`` lanes from
+    # a 128-aligned base clipped into [0, slots - ext]; a packed plane
+    # narrower than one read window would clip to a NEGATIVE base and
+    # read out of bounds.  Unreachable via BucketConfig.create (its
+    # ty >= 128/bucket and the tx/ty >= 5 asserts above pin slots >=
+    # 640 > ext for every legal bucket), but a hand-built BucketConfig
+    # could hit it — such worlds take the XLA group path instead: same
+    # contract, oracle math, trivially cheap at that size.
+    ext = ((5 * b + 127) // 128 + 1) * 128
+    if cfg.slots < ext:
+        return _spill_groups_xla(cfg, zp, packed_t, sp, sp_tcx, sp_tcy,
+                                 spill_valid, chunk)
     q_len = 9 * b
 
     zp5 = jnp.stack([

@@ -73,6 +73,7 @@ from ..core.state import SimState, StepEvents
 from ..core.step import SimParams
 from ..models.source_sink import GEN_CUSTOM, GEN_POISSON, SourceParams
 from ..ops import grid as grid_ops
+from ..ops.compact import compact_indices
 from ..ops.zanlungo_pallas import (
     NUM_F,
     ROW_ID,
@@ -107,27 +108,18 @@ class WorldDiag:
 def _compact_rows(mask, k: int, arrays: dict):
     """Gather ``arrays[mask]`` into fixed-``k`` buffers (rank order).
     Returns (records dict with int rows -1-filled / float rows 0-filled,
-    n_over).  The k-th masked row is found by searchsorted on the prefix
-    count + a [k]-row gather per field — NOT a full-length scatter
-    (~137 ns/update in XLA regardless of how few land, DESIGN_NOTES.md).
-    """
-    m = mask.shape[0]
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    idx = jnp.searchsorted(
-        csum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    valid = idx < m
-    safe = jnp.clip(idx, 0, m - 1)
+    n_over); ops/compact.py has the scatter-free idiom."""
+    c = compact_indices(mask, k)
+    safe = jnp.clip(c.idx, 0, mask.shape[0] - 1)
     out = {}
     for name, arr in arrays.items():
         if jnp.issubdtype(arr.dtype, jnp.integer):
             fill = jnp.asarray(-1, arr.dtype)
         else:
             fill = jnp.asarray(0, arr.dtype)
-        vmask = valid.reshape((k,) + (1,) * (arr.ndim - 1))
+        vmask = c.valid.reshape((k,) + (1,) * (arr.ndim - 1))
         out[name] = jnp.where(vmask, arr[safe], fill)
-    n_over = jnp.maximum(csum[-1] - jnp.int32(k), 0)
-    return out, n_over
+    return out, c.n_over
 
 
 def _free_slot_targets(alive, want_mask_or_count):
@@ -420,16 +412,9 @@ def build_world_step(
         from ..ops.zanlungo_pallas import _spill_groups
 
         is_spill = st.alive & (bucket_pos >= ext_cfg.slots)
-        # k-th spill via searchsorted on the prefix count — not an
-        # [m]-update scatter (~137 ns/update, DESIGN_NOTES.md).
-        csum = jnp.cumsum(is_spill.astype(jnp.int32))
-        n_spill = csum[-1]
-        sp_idx = jnp.searchsorted(
-            csum, jnp.arange(1, s_cap + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
-        sp_valid = sp_idx < m
-        n_over = jnp.maximum(n_spill - jnp.int32(s_cap), 0)
-        sc = jnp.clip(sp_idx, 0, m - 1)
+        comp = compact_indices(is_spill, s_cap)
+        n_spill, sp_valid, n_over = comp.count, comp.valid, comp.n_over
+        sc = jnp.clip(comp.idx, 0, m - 1)
 
         f32 = jnp.float32
         payload = dict(
@@ -466,7 +451,7 @@ def build_world_step(
         # Local agent index rides along so own spills' outputs can be
         # written back (neighbors' are theirs to write).
         mlocal = jnp.concatenate([
-            sp_idx, jnp.full((2 * s_cap,), m, jnp.int32)
+            comp.idx, jnp.full((2 * s_cap,), m, jnp.int32)
         ])
         # Canonical uid order: identical group content/order regardless
         # of which shard evaluates a given spill's neighborhood.

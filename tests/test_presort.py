@@ -112,3 +112,32 @@ def test_presort_matches_unsorted_physics():
             np.asarray(getattr(ca, name)), np.asarray(getattr(cb, name)),
             err_msg=name,
         )
+
+
+def test_presort_preserves_dead_slot_sentinels():
+    """Regression: the presort payload bit-pack must survive the -1
+    "none" sentinel make_state leaves in hl_idx/lp_idx on dead slots.
+    A raw OR of -1 sets every bit of the packed word, resurrecting all
+    dead slots as alive agents with garbage planner indices (observed:
+    120 alive -> full capacity after one step).  The pack is +1-biased
+    9-bit per index (core/step.py presort block)."""
+    cfg, hl, lp, params, state = _scene(True)
+    alive = np.asarray(state.alive)
+    # make_state defaults: dead slots carry the -1 sentinel (the _scene
+    # fixture zero-fills them, which masked the original bug).
+    sent = jnp.where(jnp.asarray(alive), 0, -1).astype(jnp.int32)
+    state = state.replace(hl_idx=sent, lp_idx=sent)
+    rollout = jax.jit(build_rollout(cfg, [hl], [lp]), static_argnums=(3,))
+    st, counters = rollout(params, state, 0.25, 3)
+    st = jax.device_get(st)
+    n0 = int(alive.sum())
+    n_alive = np.asarray(counters.n_alive)
+    n_spawn = np.asarray(counters.n_spawned)
+    n_dest = np.asarray(counters.n_destroyed)
+    # Population follows the lifecycle exactly — no resurrections.
+    assert int(n_alive[-1]) == n0 + int(n_spawn.sum()) - int(n_dest.sum())
+    assert int(n_alive[-1]) < cfg.capacity
+    # Dead slots still carry the -1 sentinel after the sorted steps.
+    dead = ~np.asarray(st.alive)
+    assert np.all(np.asarray(st.hl_idx)[dead] == -1)
+    assert np.all(np.asarray(st.lp_idx)[dead] == -1)

@@ -307,3 +307,49 @@ def test_spill_patch_repairs_overflow_at_world_edge():
     want = oracle(zp, scene)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_spill_groups_xla_fallback_matches_oracle(monkeypatch):
+    """The pure-XLA spill-group path (_spill_groups_xla) is the live
+    fallback for hand-built BucketConfigs whose packed plane is narrower
+    than one aligned window DMA (see _spill_groups), and the historical
+    parity oracle for the Pallas window kernel.  Route the whole spill
+    patch through it end-to-end on the overflow scene and require the
+    same exactness the Pallas path delivers."""
+    import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal
+
+    def xla_groups(cfg, zp, packed_t, sp, tcx, tcy, valid, chunk,
+                   interpret=False):
+        return zpal._spill_groups_xla(cfg, zp, packed_t, sp, tcx, tcy,
+                                      valid, chunk)
+
+    monkeypatch.setattr(zpal, "_spill_groups", xla_groups)
+
+    n = 96
+    world = 24.0
+    eyesight_max = 3.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    rng = np.random.default_rng(11)
+    f32 = jnp.float32
+    pos = rng.uniform(0.0, world, (n, 2))
+    pos[:30] = rng.uniform(9.0, 11.5, (30, 2))
+    pos = jnp.asarray(pos, f32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    self_pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    prio = jnp.asarray(rng.permutation(n).astype(np.float32))
+    eye = jnp.asarray(rng.uniform(0.5, eyesight_max, (n,)), f32)
+    alive = jnp.asarray(rng.random(n) > 0.1)
+    rec = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    scene = (pos, vel, self_pref, pref, prio, eye, alive, rec)
+
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True, spill_capacity=64)
+    assert int(max_occ) > cfg.bucket, "scene must actually overflow"
+    assert int(dropped) == 0
+    want = oracle(zp, scene)
+    a = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
