@@ -54,6 +54,7 @@ from ..ops.zanlungo_pallas import (
     ROW_SPX,
     ROW_VX,
     _spill_groups,
+    zparams5,
     BucketConfig,
     bucketize,
     zanlungo_forces_bucketed,
@@ -311,13 +312,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     def rollout(params_hl, params_z, state0: SimState, dt, n_steps: int):
         f = config.jdtype
         dt = jnp.asarray(dt, jnp.float32)
-        z5 = jnp.stack([
-            params_z.agent_scale.astype(jnp.float32),
-            params_z.force_distance.astype(jnp.float32),
-            params_z.agent_mass.astype(jnp.float32),
-            params_z.agent_radius.astype(jnp.float32),
-            params_z.force_cap.astype(jnp.float32),
-        ])
+        z5 = zparams5(params_z)
         carry0 = init_carry(state0)
 
         def step(c: PersistentCarry, _):

@@ -172,7 +172,14 @@ class Simulation:
         self._planner_index(self._lp_planners, source_sink.local_planner)
         self._sources.append(source_sink)
         self._dirty = True
-        return self._source_registry.add_new_item(source_sink)
+        sid = self._source_registry.add_new_item(source_sink)
+        # Registry id -> stacked-table row, recorded at add time: two
+        # identically-configured SourceSinks are equal as frozen
+        # dataclasses, so a value search (list.index) would deactivate
+        # the wrong one.
+        self._source_slot = getattr(self, "_source_slot", {})
+        self._source_slot[sid] = len(self._sources) - 1
+        return sid
 
     def remove_source_sink(self, source_id: int) -> None:
         """Deactivate a SourceSink (lib.rs:164-168 — like the reference,
@@ -183,7 +190,9 @@ class Simulation:
         self._source_registry.remove(source_id)
         if ss is None:
             return
-        idx = self._sources.index(ss)
+        idx = getattr(self, "_source_slot", {}).pop(source_id, None)
+        if idx is None:
+            return
         self._inactive_sources = getattr(self, "_inactive_sources", set())
         self._inactive_sources.add(idx)
         if self._params is not None and self._params.sources is not None:
@@ -386,7 +395,11 @@ class Simulation:
                     int(ev.max_cell_occupancy),
                     int(ev.neighbor_truncated),
                 ))
-            cols = [jnp.asarray(c, jnp.int32) for c in zip(*rows)]
+            # zip(*rows) yields nothing for n_steps=0 — build the empty
+            # [0]-shaped counters explicitly (the scanned path returns
+            # the same shape).
+            cols = ([jnp.asarray(c, jnp.int32) for c in zip(*rows)]
+                    if rows else [jnp.zeros((0,), jnp.int32)] * 8)
             return RolloutCounters(*cols)
         want_events = len(self._event_listeners) > 0
         cache = "_event_rollout_fn" if want_events else "_rollout_fn"

@@ -342,7 +342,7 @@ class Zanlungo(LocalPlanner):
     def plan(self, params, state: SimState, nbr: NeighborSet, rec_vel, self_pref):
         n = state.capacity
         c = self.force_chunk
-        if c <= 0 or n <= c or n % c != 0:
+        if c <= 0 or n <= c:
             return zanlungo_velocity(
                 params,
                 state.position,
@@ -357,7 +357,11 @@ class Zanlungo(LocalPlanner):
 
         # Chunked: per-agent rows are split [n/c, c, ...]; the full
         # position/velocity/pref/priority arrays stay shared (candidate
-        # gathers index into them globally).
+        # gathers index into them globally).  A capacity that does not
+        # divide by the chunk is PADDED up (pad rows have valid=False
+        # and are sliced off) — silently falling back to the unchunked
+        # path would materialize the [N, K] temporaries the chunking
+        # exists to bound.
         def chunk_fn(args):
             qpos, qvel, qprio, sp, idx, valid, rec = args
             return zanlungo_velocity(
@@ -376,19 +380,30 @@ class Zanlungo(LocalPlanner):
             )
 
         k = nbr.idx.shape[1]
+        pad = (-n) % c
+        np_ = n + pad
+
+        def padded(arr, fill=0):
+            if not pad:
+                return arr
+            return jnp.concatenate([
+                arr,
+                jnp.full((pad,) + arr.shape[1:], fill, arr.dtype),
+            ])
+
         out = jax.lax.map(
             chunk_fn,
             (
-                state.position.reshape(n // c, c, 2),
-                state.velocity.reshape(n // c, c, 2),
-                state.priority.reshape(n // c, c),
-                self_pref.reshape(n // c, c, 2),
-                nbr.idx.reshape(n // c, c, k),
-                nbr.valid.reshape(n // c, c, k),
-                rec_vel.reshape(n // c, c, 2),
+                padded(state.position).reshape(np_ // c, c, 2),
+                padded(state.velocity).reshape(np_ // c, c, 2),
+                padded(state.priority).reshape(np_ // c, c),
+                padded(self_pref).reshape(np_ // c, c, 2),
+                padded(nbr.idx).reshape(np_ // c, c, k),
+                padded(nbr.valid, False).reshape(np_ // c, c, k),
+                padded(rec_vel).reshape(np_ // c, c, 2),
             ),
         )
-        return out.reshape(n, 2)
+        return out.reshape(np_, 2)[:n]
 
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
@@ -401,7 +416,14 @@ class Zanlungo(LocalPlanner):
         (vel [N,2], max_tile_occupancy, dropped).  With
         ``spill_capacity`` > 0 bucket overflow is repaired exactly
         (spill_patch) and ``dropped`` counts only cap overruns; with 0,
-        overflow agents are excluded (loudly, via ``dropped``)."""
+        overflow agents are excluded (loudly, via ``dropped``).
+
+        NARROWING: the ``world_mesh`` (domain-sharded) branch has NO
+        spill repair — ``spill_capacity`` is ignored there and bucket
+        overflow surfaces through ``dropped`` (raising by default via
+        ``neighbor_truncated``).  Overflow-prone multi-chip scenes
+        belong on the world-sharded engine (parallel/worldstep.py),
+        whose cross-shard spill exchange repairs overflow exactly."""
         if world_mesh is not None:
             from ..parallel.domain import zanlungo_fused_domain
 

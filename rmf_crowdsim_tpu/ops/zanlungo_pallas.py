@@ -89,6 +89,32 @@ NUM_F = 16
 _POS_SENTINEL = 1e30
 
 
+def zparams5(zp):
+    """The kernel's 5-scalar prefetch vector — the ONE canonical
+    stacking order (agent_scale, force_distance, agent_mass,
+    agent_radius, force_cap) every caller must use; _make_kernel and
+    _make_spill_kernel unpack positionally."""
+    return jnp.stack([
+        zp.agent_scale.astype(jnp.float32),
+        zp.force_distance.astype(jnp.float32),
+        zp.agent_mass.astype(jnp.float32),
+        zp.agent_radius.astype(jnp.float32),
+        zp.force_cap.astype(jnp.float32),
+    ])
+
+
+def sentinel_rows(n_rows: int):
+    """[n_rows, NUM_F] empty-slot rows: far-away position sentinel, id
+    -1, zeros elsewhere — what every packer/halo-exchanger must place in
+    slots holding no agent (zeros would read as live agents at the
+    origin)."""
+    s = jnp.zeros((n_rows, NUM_F), jnp.float32)
+    s = s.at[:, ROW_PX].set(_POS_SENTINEL)
+    s = s.at[:, ROW_PY].set(_POS_SENTINEL)
+    s = s.at[:, ROW_ID].set(-1.0)
+    return s
+
+
 @dataclasses.dataclass(frozen=True)
 class BucketConfig:
     """Static geometry of the bucketed supertile layout."""
@@ -1401,13 +1427,7 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
                                  spill_valid, chunk)
     q_len = 9 * b
 
-    zp5 = jnp.stack([
-        zp.agent_scale.astype(jnp.float32),
-        zp.force_distance.astype(jnp.float32),
-        zp.agent_mass.astype(jnp.float32),
-        zp.agent_radius.astype(jnp.float32),
-        zp.force_cap.astype(jnp.float32),
-    ])
+    zp5 = zparams5(zp)
     # Spill features in the packed row layout, lane-padded to 128.
     cap_pad = ((s_cap + 127) // 128) * 128
     f32 = jnp.float32
@@ -1523,13 +1543,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
         interpret=interpret, presorted=presorted,
     )
-    zparams4 = jnp.stack([
-        zp.agent_scale.astype(jnp.float32),
-        zp.force_distance.astype(jnp.float32),
-        zp.agent_mass.astype(jnp.float32),
-        zp.agent_radius.astype(jnp.float32),
-        zp.force_cap.astype(jnp.float32),
-    ])
+    zparams4 = zparams5(zp)
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret)
     ok = (bucket_pos < cfg.slots) & alive

@@ -27,25 +27,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.zanlungo_pallas import (
-    NUM_F,
-    ROW_ID,
-    ROW_PX,
-    ROW_PY,
-    _POS_SENTINEL,
     BucketConfig,
     bucketize,
+    sentinel_rows,
     zanlungo_forces_bucketed,
+    zparams5,
 )
 
 WORLD_AXIS = "world_x"
 
 
 def _sentinel_block(col_slots: int):
-    s = jnp.zeros((col_slots, NUM_F), jnp.float32)
-    s = s.at[:, ROW_PX].set(_POS_SENTINEL)
-    s = s.at[:, ROW_PY].set(_POS_SENTINEL)
-    s = s.at[:, ROW_ID].set(-1.0)
-    return s
+    return sentinel_rows(col_slots)
 
 
 def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
@@ -102,13 +95,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive,
     )
-    zparams4 = jnp.stack([
-        zp.agent_scale.astype(jnp.float32),
-        zp.force_distance.astype(jnp.float32),
-        zp.agent_mass.astype(jnp.float32),
-        zp.agent_radius.astype(jnp.float32),
-        zp.force_cap.astype(jnp.float32),
-    ])
+    zparams4 = zparams5(zp)
     out = forces_domain_sharded(mesh, cfg, zparams4, packed_t,
                                 interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)

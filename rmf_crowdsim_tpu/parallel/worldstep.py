@@ -82,7 +82,9 @@ from ..ops.zanlungo_pallas import (
     _POS_SENTINEL,
     BucketConfig,
     bucketize,
+    sentinel_rows,
     zanlungo_forces_bucketed,
+    zparams5,
 )
 
 WORLD_AXIS = "world_x"
@@ -122,7 +124,7 @@ def _compact_rows(mask, k: int, arrays: dict):
     return out, c.n_over
 
 
-def _free_slot_targets(alive, want_mask_or_count):
+def _free_slot_targets(alive):
     """Ascending free-slot index for each rank (padded with M)."""
     m = alive.shape[0]
     free = ~alive
@@ -228,7 +230,7 @@ def build_world_step(
         )
         mine = want & (own == i)
         local_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
-        slot_of_rank, n_free = _free_slot_targets(st.alive, None)
+        slot_of_rank, n_free = _free_slot_targets(st.alive)
         can = mine & (local_rank < n_free)
         slot = slot_of_rank[jnp.clip(local_rank, 0, m - 1)]
         tgt = jnp.where(can, slot, jnp.int32(m))
@@ -342,13 +344,24 @@ def build_world_step(
             .at[ord_u].set(bpos_perm)
         )
 
+        # Restore GLOBAL x in the packed rows.  Binning used the shifted
+        # ext frame, but the pair math is difference-based and the halo
+        # blocks exchanged below come from NEIGHBOR frames (one region
+        # width apart) — keeping shard-frame PX made every cross-shard
+        # candidate appear a full region away, silently zeroing all
+        # boundary forces (caught by the closing-pair regression test).
+        # Global PX also makes the pair math BIT-IDENTICAL across device
+        # counts and vs the general engine: no per-shard (pos - shift)
+        # rounding enters the kernel.
+        packed = packed.at[:, ROW_PX].add(
+            jnp.where(packed[:, ROW_ID] >= 0, shift.astype(jnp.float32),
+                      0.0)
+        )
+
         # Halo exchange: my LAST H real columns -> right neighbor's left
         # halo; my FIRST H real columns -> left neighbor's right halo.
         hs = H * col_slots
-        sent = jnp.zeros((hs, NUM_F), jnp.float32)
-        sent = sent.at[:, ROW_PX].set(_POS_SENTINEL)
-        sent = sent.at[:, ROW_PY].set(_POS_SENTINEL)
-        sent = sent.at[:, ROW_ID].set(-1.0)
+        sent = sentinel_rows(hs)
 
         last_real = packed[cols_per * col_slots:(cols_per + H) * col_slots]
         first_real = packed[hs:2 * hs]
@@ -460,8 +473,11 @@ def build_world_step(
         shift = (i.astype(f) * cols_per - H) * jnp.asarray(
             cfg0.tile_size, f
         )
+        # Spill payload positions stay GLOBAL for pair math (the packed
+        # plane's ROW_PX is global too — see local_forces); only the
+        # tile coords below need the shard's ext frame.
         mpos = cat("pos")[ord_s]
-        mpos = mpos.at[:, 0].add(-shift.astype(f32))  # ext coords
+        mpos_ext = mpos.at[:, 0].add(-shift.astype(f32))
         mvalid = mvalid[ord_s]
         inv_tile = 1.0 / cfg0.tile_size
         # Same per-shard world-edge column clamp as local_forces'
@@ -472,10 +488,10 @@ def build_world_step(
             jnp.int32(ext_cfg.tx - 1),
         )
         tcx = jnp.clip(jnp.floor(
-            (mpos[:, 0] - cfg0.offset[0]) * inv_tile).astype(jnp.int32),
+            (mpos_ext[:, 0] - cfg0.offset[0]) * inv_tile).astype(jnp.int32),
             col_lo, col_hi)
         tcy = jnp.clip(jnp.floor(
-            (mpos[:, 1] - cfg0.offset[1]) * inv_tile).astype(jnp.int32),
+            (mpos_ext[:, 1] - cfg0.offset[1]) * inv_tile).astype(jnp.int32),
             0, cfg0.ty - 1)
         tcx = jnp.where(mvalid, tcx, 1)
         tcy = jnp.where(mvalid, tcy, 1)
@@ -582,7 +598,7 @@ def build_world_step(
         }
         avalid = jnp.concatenate([lv, rv], axis=0)
         a_rank = jnp.cumsum(avalid.astype(jnp.int32)) - 1
-        slot_of_rank, n_free = _free_slot_targets(st.alive, None)
+        slot_of_rank, n_free = _free_slot_targets(st.alive)
         can = avalid & (a_rank < n_free)
         tgt = jnp.where(
             can, slot_of_rank[jnp.clip(a_rank, 0, m - 1)], jnp.int32(m)
@@ -651,13 +667,7 @@ def build_world_step(
         for pi, planner in enumerate(lp_planners):
             if hasattr(planner, "plan_fused"):
                 zp = params.lp[pi]
-                z5 = jnp.stack([
-                    zp.agent_scale.astype(jnp.float32),
-                    zp.force_distance.astype(jnp.float32),
-                    zp.agent_mass.astype(jnp.float32),
-                    zp.agent_radius.astype(jnp.float32),
-                    zp.force_cap.astype(jnp.float32),
-                ])
+                z5 = zparams5(zp)
                 v, occ, dropped, stray_i = local_forces(
                     st, vel, self_pref, z5, zp, i
                 )
@@ -749,6 +759,14 @@ def build_world_step(
         )
 
         # ---- migration ----
+        # NOTE: the StepEvents above are keyed to PRE-migration slots
+        # (uids/positions are already resolved into the masks'
+        # companion arrays, so counter consumers are exact), but a
+        # consumer correlating event masks with post-migration
+        # ``state.uid`` by SLOT would mis-attribute agents that migrated
+        # this step.  Current consumers (rollout counters, WorldDiag)
+        # only reduce; slot-correlating host dispatch runs on the
+        # single-device engine.
         st, migrated, overflow, lost = migrate(st, i)
         diag = WorldDiag(
             migrated=migrated,

@@ -247,6 +247,37 @@ def test_remove_source_sink_stops_spawning():
     assert sim.num_agents == 0  # the existing ones still reach the sink
 
 
+def test_remove_one_of_equal_source_sinks():
+    """Two identically-configured SourceSinks are EQUAL as frozen
+    dataclasses; removing the second by its registry id must deactivate
+    the second stacked-table row, not the first (regression: a value
+    search picked the first equal source, leaving the removed one
+    spawning forever)."""
+    sim = make_sim()
+    hl = ConstantVelocity((1.0, 0.0))
+    lp = NoLocalPlan()
+    gen = MonotonicCrowd(1.0)
+
+    def mk():
+        return SourceSink(
+            source=(0.0, 0.0), waypoints=[(20.0, 0.0)], radius_sink=1.0,
+            crowd_generator=gen, high_level_planner=hl,
+            local_planner=lp, agent_eyesight_range=5.0,
+        )
+
+    ss_a, ss_b = mk(), mk()
+    assert ss_a == ss_b
+    sim.add_source_sink(ss_a)
+    sid_b = sim.add_source_sink(ss_b)
+    sim.remove_source_sink(sid_b)
+    assert getattr(sim, "_inactive_sources") == {1}
+    # Source A (row 0) still spawns: the clearance rule admits one agent
+    # per step while the previous one walks clear of the source.
+    for _ in range(4):
+        sim.step(1.0)
+    assert sim.num_agents > 0
+
+
 def test_remove_event_listener():
     sim = make_sim()
     listener = MockEventListener()

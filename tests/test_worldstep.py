@@ -451,3 +451,97 @@ def test_world_shard_capacity_spawn_drop_divergence():
     assert list(np.asarray(cg.spawn_dropped)) == [0, 1, 1, 1]
     assert int(np.asarray(cg.n_alive)[-1]) == 9
     assert int(np.asarray(stg.next_uid)) == capacity + 1
+
+
+def make_closing_pair_scene(capacity=16):
+    """Two agents straddling the x=12 shard boundary (8 x 6 m regions),
+    CLOSING at +-0.5 m/s: nonzero relative velocity -> finite TTC ->
+    real Zanlungo forces across the boundary.  Regression scene for the
+    halo frame bug (shard-frame ROW_PX made every cross-shard candidate
+    appear a full region away, silently zeroing all boundary forces —
+    the streaming scenes above never caught it because their shared
+    ConstantVelocity gives every pair zero relative velocity and
+    therefore zero force)."""
+    cfg = SimConfig(
+        capacity=capacity,
+        grid=GridConfig(width=48.0, height=48.0, cell_size=3.0,
+                        offset=(0.0, 0.0)),
+        neighbor_backend="grid_pallas",
+        max_eyesight=3.0,
+        bucket_capacity=16,
+        strip_tiles=6,
+        sub_tiles=6,
+        pallas_interpret=True,
+        dtype="float32",
+        on_truncation="raise",
+    )
+    hl_r = ConstantVelocity((0.5, 0.0))
+    hl_l = ConstantVelocity((-0.5, 0.0))
+    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
+                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
+                  force_cap=10.0)
+    state = make_state(cfg, seed=7)
+    f = cfg.jdtype
+    pos = np.zeros((capacity, 2))
+    pos[0] = (11.0, 24.0)   # region 1, moving right
+    pos[1] = (13.0, 24.0)   # region 2, moving left
+    alive = np.zeros(capacity, bool)
+    alive[:2] = True
+    state = state.replace(
+        position=jnp.asarray(pos, f),
+        eyesight=jnp.where(jnp.asarray(alive), jnp.asarray(3.0, f), 0.0),
+        alive=jnp.asarray(alive),
+        uid=jnp.arange(capacity, dtype=jnp.int32),
+        hl_idx=jnp.asarray([0, 1] + [0] * (capacity - 2), jnp.int32),
+        lp_idx=jnp.zeros((capacity,), jnp.int32),
+        priority=jnp.arange(capacity, dtype=f),
+        next_uid=jnp.asarray(capacity, jnp.int32),
+    )
+    params = SimParams(
+        hl=(hl_r.init_params(), hl_l.init_params()),
+        lp=(lp.init_params(),), sources=None,
+    )
+    return cfg, [hl_r, hl_l], [lp], params, state
+
+
+def test_world_cross_boundary_forces_match_general():
+    """Cross-shard pairs must feel each other: world(8) == world(1)
+    BITWISE (global ROW_PX keeps the pair math frame-free) and both
+    match the general single-device rollout at tolerance."""
+    cfg, hls, lps, params, state = make_closing_pair_scene()
+    n_steps, dt = 3, 1.0
+
+    def run_world_d(d):
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:d]), (WORLD_AXIS,)
+        )
+        st = shard_state_by_region(cfg, mesh, state)
+        rollout = build_world_rollout(cfg, hls, lps, mesh)
+        st, c = rollout(params, st, dt, n_steps)
+        st = jax.device_get(st)
+        uid = np.asarray(st.uid)
+        pos = np.asarray(st.position)
+        return {int(uid[i]): tuple(pos[i])
+                for i in np.flatnonzero(np.asarray(st.alive))}
+
+    w8 = run_world_d(8)
+    w1 = run_world_d(1)
+
+    g_rollout = jax.jit(build_rollout(cfg, hls, lps), static_argnums=(3,))
+    stg, _ = g_rollout(params, state, dt, n_steps)
+    stg = jax.device_get(stg)
+    uid = np.asarray(stg.uid)
+    pos = np.asarray(stg.position)
+    gen = {int(uid[i]): tuple(pos[i])
+           for i in np.flatnonzero(np.asarray(stg.alive))}
+
+    assert w8.keys() == w1.keys() == gen.keys() == {0, 1}
+    # The force actually acted: trajectories deviate from pure advection.
+    advect0 = np.asarray([11.0 + 0.5 * dt * n_steps, 24.0])
+    assert np.abs(np.asarray(gen[0]) - advect0).max() > 1e-3, (
+        "scene must produce a real cross-boundary force"
+    )
+    # Sharding-invariant bitwise; engine-equivalent at tolerance.
+    for k in w8:
+        assert w8[k] == w1[k], (k, w8[k], w1[k])
+        np.testing.assert_allclose(w8[k], gen[k], rtol=1e-5, atol=1e-5)

@@ -198,29 +198,41 @@ def test_no_neighbors_passthrough():
     np.testing.assert_allclose(np.asarray(vel), np.asarray(rec))
 
 
-def test_chunked_force_pass_matches():
-    """Zanlungo(force_chunk=c) must equal the unchunked pass."""
-    import jax
+def _run_chunked(chunk):
     from rmf_crowdsim_tpu import GridConfig, SimConfig, Simulation, ParityVelocity
     from rmf_crowdsim_tpu.models.local import Zanlungo
 
-    def run(chunk):
-        cfg = SimConfig(capacity=64,
-                        grid=GridConfig(64.0, 64.0, 4.0, (-32.0, -32.0)),
-                        neighbor_backend="grid", max_per_cell=64,
-                        max_eyesight=4.0, dtype="float64")
-        sim = Simulation(cfg)
-        hl = ParityVelocity((1.0, 0.3))
-        lp = Zanlungo(1.0, 1.0, 0.0, 2.0, 2.0, 0.25, force_chunk=chunk)
-        rng = np.random.default_rng(5)
-        pts = rng.uniform(-30, 30, (48, 2))
-        sim.add_agents([tuple(p) for p in pts], hl, lp, 4.0)
-        for _ in range(5):
-            sim.step(0.1)
-        return {k: v.position for k, v in sim.agents.items()}
+    cfg = SimConfig(capacity=64,
+                    grid=GridConfig(64.0, 64.0, 4.0, (-32.0, -32.0)),
+                    neighbor_backend="grid", max_per_cell=64,
+                    max_eyesight=4.0, dtype="float64")
+    sim = Simulation(cfg)
+    hl = ParityVelocity((1.0, 0.3))
+    lp = Zanlungo(1.0, 1.0, 0.0, 2.0, 2.0, 0.25, force_chunk=chunk)
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-30, 30, (48, 2))
+    sim.add_agents([tuple(p) for p in pts], hl, lp, 4.0)
+    for _ in range(5):
+        sim.step(0.1)
+    return {k: v.position for k, v in sim.agents.items()}
 
-    a = run(0)
-    b = run(16)
+
+def test_chunked_force_pass_matches():
+    """Zanlungo(force_chunk=c) must equal the unchunked pass."""
+    a = _run_chunked(0)
+    b = _run_chunked(16)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0)
+
+
+def test_chunked_force_pass_pads_nondividing_chunk():
+    """A force_chunk that does not divide the capacity must still run
+    chunked (padded with invalid rows, sliced off) and match the
+    unchunked pass bitwise — regression: the old code silently fell
+    back to the unchunked [N, K] materialization."""
+    a = _run_chunked(0)
+    b = _run_chunked(24)  # 64 % 24 != 0 -> pad 8 rows
     assert a.keys() == b.keys()
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0)
