@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <vector>
@@ -96,8 +97,13 @@ bool line_of_sight(const Planner& p, double ax, double ay, double bx,
   } else { tMaxY = 2.0; tDeltaY = 2.0; }
 
   if (p.blocked(cx, cy)) return false;
-  // Cap iterations defensively.
-  for (int it = 0; it < 4 * (p.nx + p.ny) + 8; ++it) {
+  // The walk advances >= 1 cell toward the goal per iteration, so the
+  // exact bound is the cell Manhattan distance (a grid-size cap would
+  // spuriously fail long free segments whose endpoints lie far outside
+  // the raster — out-of-grid cells are traversable).
+  const long long need = std::llabs((long long)gx - cx)
+      + std::llabs((long long)gy - cy) + 8;
+  for (long long it = 0; it < need; ++it) {
     if (cx == gx && cy == gy) return true;
     if (tMaxX < tMaxY) { tMaxX += tDeltaX; cx += sx; }
     else if (tMaxY < tMaxX) { tMaxY += tDeltaY; cy += sy; }

@@ -54,6 +54,7 @@ from ..ops.zanlungo_pallas import (
     ROW_SPX,
     ROW_VX,
     _spill_groups,
+    sentinel_rows,
     zparams5,
     BucketConfig,
     bucketize,
@@ -105,10 +106,7 @@ def _extract_spills(rows, row_dest, slots: int, s_cap: int):
     c = compact_indices(over, s_cap)
     idx, valid = c.idx, c.valid
 
-    sent = jnp.zeros((s_cap, NUM_F), jnp.float32)
-    sent = sent.at[:, ROW_PX].set(1e30)
-    sent = sent.at[:, ROW_PY].set(1e30)
-    sent = sent.at[:, ROW_ID].set(-1.0)
+    sent = sentinel_rows(s_cap)
     spill = jnp.where(valid[:, None], rows[jnp.clip(idx, 0, n_in - 1)],
                       sent)
     # Spill rows get fresh position-based ids past every possible packed
@@ -137,7 +135,7 @@ def _rebin(cfg: BucketConfig, packed, spill, s_cap: int,
     new row, occ, dropped)."""
     rows = jnp.concatenate([packed, spill], axis=0)  # [slots + s_cap, F]
     alive = rows[:, ROW_ID] >= 0.0
-    new_packed, move, occ, _ = bucketize(
+    new_packed, move, occ, b_dropped = bucketize(
         cfg,
         rows[:, ROW_PX:ROW_PX + 2],
         rows[:, ROW_VX:ROW_VX + 2],
@@ -154,7 +152,18 @@ def _rebin(cfg: BucketConfig, packed, spill, s_cap: int,
     new_spill, dest, n_dropped = _extract_spills(
         rows, move, cfg.slots, s_cap
     )
-    return new_packed, new_spill, dest, occ, n_dropped
+    # bucketize's dropped = bucket overflow (recovered into the spill
+    # buffer above, counted by _extract_spills only past its capacity)
+    # + PACK-WINDOW overflow (rows the streaming pack kernel could not
+    # place: bucket_pos < slots but the slot holds the sentinel — those
+    # rows are LOST here and must be loud).
+    n_bucket_over = jnp.sum(
+        (alive & (move >= cfg.slots)).astype(jnp.int32), dtype=jnp.int32
+    )
+    pack_dropped = jnp.maximum(
+        b_dropped.astype(jnp.int32) - n_bucket_over, 0
+    )
+    return new_packed, new_spill, dest, occ, n_dropped + pack_dropped
 
 
 def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
@@ -249,6 +258,16 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
         "persistent rollout needs tile_size > max_eyesight (set "
         "SimConfig.bucket_tile_size) so a rebin skin exists"
     )
+    # The resident rows' committed-pref columns (4:6, what neighbors
+    # observe) are only refreshed at rebins, i.e. the engine implements
+    # commit_preferred_vel=False semantics (the default).  Refusing the
+    # True setting here beats silently diverging from the general step
+    # (step.py commit phase).
+    assert not config.commit_preferred_vel, (
+        "the persistent rollout does not implement "
+        "commit_preferred_vel=True (neighbors would observe stale "
+        "committed prefs between rebins) — use the general step"
+    )
     interp = config.pallas_interpret
     use_pack = config.use_pack_kernel
     # Rounded to the spill-group chunk size (16).
@@ -262,7 +281,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     def init_carry(state: SimState) -> PersistentCarry:
         n = state.capacity
         f32 = jnp.float32
-        packed, bucket_pos, occ, _ = bucketize(
+        packed, bucket_pos, occ, b_dropped = bucketize(
             bucket_cfg, state.position, state.velocity,
             state.preferred_vel, state.preferred_vel, state.priority,
             state.eyesight, jnp.zeros_like(state.velocity), state.alive,
@@ -290,6 +309,15 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
         ], axis=-1)
         spill, dest, n_dropped = _extract_spills(
             feat, bucket_pos, slots, s_cap
+        )
+        # Pack-window overflow (rows lost by the streaming pack kernel)
+        # — same loud accounting as _rebin.
+        n_bucket_over = jnp.sum(
+            (state.alive & (bucket_pos >= slots)).astype(jnp.int32),
+            dtype=jnp.int32,
+        )
+        n_dropped = n_dropped + jnp.maximum(
+            b_dropped.astype(jnp.int32) - n_bucket_over, 0
         )
         agent_slot = jnp.where(
             state.alive,
@@ -418,10 +446,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
                     -1.0,
                 ))
                 # Sentinelize the evicted packed slots.
-                sent_row = jnp.zeros((s_cap, NUM_F), jnp.float32)
-                sent_row = sent_row.at[:, ROW_PX].set(1e30)
-                sent_row = sent_row.at[:, ROW_PY].set(1e30)
-                sent_row = sent_row.at[:, ROW_ID].set(-1.0)
+                sent_row = sentinel_rows(s_cap)
                 p = p.at[jnp.where(valid, idx, slots)].set(
                     sent_row, mode="drop"
                 )

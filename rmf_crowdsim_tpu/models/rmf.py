@@ -106,11 +106,13 @@ class RMFPlanner(WaypointFollow):
         (rmf/mod.rs:217-236).  None when no route exists — the reference
         prints and leaves the agent planless (rmf/mod.rs:233-235)."""
         key = (self._hash(start), self._hash(goal))
-        hit = self._cache.get(key)
-        if hit is not None:
-            return hit
+        if key in self._cache:
+            return self._cache[key]
         route = self._backend.plan(tuple(start), tuple(goal))
         if route is None:
+            # Cache the failure too: re-running full A* for every call
+            # against the same unreachable pair is a host-side stall.
+            self._cache[key] = None
             return None
         if self._n_routes >= self._max_routes:
             raise RuntimeError(

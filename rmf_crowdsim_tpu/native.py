@@ -224,7 +224,11 @@ class NumpyRoutePlanner:
             t_max_y, t_dy = 2.0, 2.0
         if self._blocked(cx, cy):
             return False
-        for _ in range(4 * (self.nx + self.ny) + 8):
+        # Exact bound: the walk advances >= 1 cell toward the goal per
+        # iteration (cell Manhattan distance; a grid-size cap would
+        # spuriously fail long free segments whose endpoints lie far
+        # outside the raster — out-of-grid cells are traversable).
+        for _ in range(abs(gx - cx) + abs(gy - cy) + 8):
             if cx == gx and cy == gy:
                 return True
             if t_max_x < t_max_y:

@@ -537,7 +537,7 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
             jnp.where(mask, uy * scale, 0.0))
 
 
-def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
+def _make_kernel(cfg: BucketConfig,
                  compact_pass2: bool = True):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
@@ -867,7 +867,6 @@ def _make_kernel(cfg: BucketConfig, double_buffer: bool = True,
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
-                             double_buffer: bool = True,
                              compact_pass2: bool = True):
     """Run the kernel over the packed array.
 
@@ -875,7 +874,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
     [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
-    kernel, q_len, w_ext = _make_kernel(cfg, double_buffer=double_buffer,
+    kernel, q_len, w_ext = _make_kernel(cfg,
                                         compact_pass2=compact_pass2)
     n_strips = cfg.ty // cfg.strip_tiles
 
@@ -1554,6 +1553,29 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     # exceeds the per-row gather cost it saves.  Don't retry.
     vel = out[jnp.clip(bucket_pos, 0, cfg.slots - 1)].astype(dtype)
     vel = jnp.where(ok[:, None], vel, rec_vel)
+    n_bucket_over = jnp.sum(
+        (alive & (bucket_pos >= cfg.slots)).astype(jnp.int32)
+    )
+    # Pack-window overflow leaves an agent's assigned slot holding the
+    # SENTINEL row while its bucket_pos < slots, so the gather above
+    # reads the sentinel slot's zero output and the agent would freeze.
+    # Such agents must keep rec_vel like every other unpacked agent
+    # (test_overflow_agents_keep_rec_vel's contract).  The [N] audit
+    # gather runs only when pack overflow actually happened (lax.cond —
+    # clean steps pay nothing); slot assignment is injective, so a slot
+    # is either the agent's own row or the sentinel.
+
+    def _fix_pack_dropped(v):
+        landed = packed_t[
+            jnp.clip(bucket_pos, 0, cfg.slots - 1), ROW_ID
+        ] >= 0
+        return jnp.where((ok & ~landed)[:, None], rec_vel.astype(dtype),
+                         v)
+
+    vel = jax.lax.cond(
+        dropped.astype(jnp.int32) > n_bucket_over,
+        _fix_pack_dropped, lambda v: v, vel,
+    )
     if spill_capacity > 0:
         # `dropped` from bucketize = bucket overflow + pack overflow; the
         # patch resolves the bucket-overflow part exactly.
@@ -1561,9 +1583,6 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
             spill_capacity, interpret=interpret,
-        )
-        n_bucket_over = jnp.sum(
-            (alive & (bucket_pos >= cfg.slots)).astype(jnp.int32)
         )
         pack_over = dropped - n_bucket_over  # pack-kernel window overflow
         dropped = (unresolved + pack_over).astype(jnp.int32)

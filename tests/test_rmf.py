@@ -205,3 +205,34 @@ def test_native_route_buffer_overflow_raises():
                                  max_waypoints=2)
     with pytest.raises(RuntimeError):
         planner.plan((5.0, 2.0), (15.0, 2.0))  # needs > 2 waypoints
+
+
+@pytest.mark.parametrize("cls", [NumpyRoutePlanner] + (
+    [NativeRoutePlanner] if native_available() else []))
+def test_far_outside_straight_shot_is_two_points(cls):
+    """A free straight segment whose endpoints lie far OUTSIDE the
+    raster must plan as the direct 2-point route — regression for the
+    line-of-sight iteration cap, which was grid-size-bounded and
+    spuriously failed long out-of-grid segments (out-of-grid cells are
+    traversable, matching the reference's unbounded SparseGrid,
+    rmf/mod.rs:107-123)."""
+    p = cls(ROOM_VERTS, ROOM_WALLS, 0.5, 0.3)
+    # Far above the 20x10 room: nothing blocks the line.
+    route = p.plan((-200.0, 300.0), (400.0, 305.0))
+    assert route is not None
+    assert len(route) == 2
+
+
+def test_no_route_result_is_cached():
+    """plan_route_cached caches FAILURES too: a second query for the
+    same unreachable (start, goal) pair must not re-run A*."""
+    verts = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+             (0.0, 2.0), (4.0, 2.0)]
+    walls = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5)]
+    planner = RMFPlanner(verts, walls, scale=0.25, radius=0.2)
+    assert planner.plan_route_cached((1.0, 1.0), (1.0, 3.5)) is None
+    calls = []
+    orig = planner._backend.plan
+    planner._backend.plan = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    assert planner.plan_route_cached((1.0, 1.0), (1.0, 3.5)) is None
+    assert calls == []

@@ -353,3 +353,55 @@ def test_spill_groups_xla_fallback_matches_oracle(monkeypatch):
     a = np.asarray(alive)
     np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pack_overflow_agents_keep_rec_vel():
+    """Agents dropped by the PACK KERNEL's streaming window (not bucket
+    overflow) must keep their recommended velocity like every other
+    unpacked agent — regression: their assigned slot holds the sentinel
+    row, and the output gather returned that slot's zero, freezing them
+    (the guard reads the slot's ROW_ID only when bucketize reports more
+    drops than bucket overflow accounts for)."""
+    from rmf_crowdsim_tpu.ops.pack_pallas import CHUNK, MAX_CHUNKS
+
+    window = CHUNK * MAX_CHUNKS
+    n_a = window + 76          # hotspot rows: blow one group's window
+    n_b = 8
+    n = n_a + n_b
+    cfg = BucketConfig.create(12.0, 12.0, (0.0, 0.0), 2.0,
+                              bucket=16, strip_tiles=8, sub_tiles=6,
+                              tile_size=2.0)
+    assert cfg.slots >= 512, "group 0 must span several tiles"
+    zp = make_params()
+    rng = np.random.default_rng(3)
+    f32 = jnp.float32
+    pos = np.zeros((n, 2))
+    pos[:n_a] = rng.uniform(0.1, 1.9, (n_a, 2))      # tile (0, 0)
+    # B sits in the SAME slot group as the hotspot tile (same tile
+    # column, tid 5 -> slots 80-95 < 512) but sorts AFTER its 1100-row
+    # span, so B's packable rows fall beyond the group's 1024-row
+    # streaming window — genuine pack-window drops.
+    pos[n_a:] = rng.uniform(0.1, 1.9, (n_b, 2)) + [0.0, 10.0]  # tile (0, 5)
+    eye = np.full((n,), 2.0)
+    eye[n_a:] = 0.05           # B agents interact with nobody
+    rec = np.zeros((n, 2))
+    rec[n_a:] = (1.0, 2.0)
+    scene = (
+        jnp.asarray(pos, f32),
+        jnp.zeros((n, 2), f32),
+        jnp.zeros((n, 2), f32),
+        jnp.zeros((n, 2), f32),
+        jnp.asarray(np.arange(n), f32),
+        jnp.asarray(eye, f32),
+        jnp.ones((n,), bool),
+        jnp.asarray(rec, f32),
+    )
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True, use_pack_kernel=True,
+    )
+    # The hotspot's sorted span pushes B's rows past the group window:
+    # bucket overflow alone would be n_a - 16, so any extra drops are
+    # pack-window drops (B's packable rows).
+    assert int(dropped) > n_a - 16, "scene must produce pack-window drops"
+    b_vel = np.asarray(got)[n_a:]
+    np.testing.assert_array_equal(b_vel, rec[n_a:].astype(np.float32))
