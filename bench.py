@@ -62,6 +62,10 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # bucketize's argsort + feature gather + inverse scatter, and
         # enables the monotone unbucketize kernel (ops/compact_pallas.py).
         presort=(backend == "grid_pallas"),
+        # Bench priorities are the default agent uids (integers), so the
+        # kernel may drop the right-of-way sqrt + slerp asin/sin
+        # (ops/zanlungo_pallas._pair_force int_prio).
+        integer_priorities=(backend == "grid_pallas"),
         dtype=dtype,
     )
 

@@ -78,8 +78,19 @@ def main():
     which = sys.argv[1:] or ["pack512x256", "pack512x512", "pack1024x512",
                              "gather", "kernel"]
 
+    # Sentinel row for the scatter/gather pack alternatives.
+    from rmf_crowdsim_tpu.ops.zanlungo_pallas import sentinel_rows
+    sent1 = sentinel_rows(1)
+
     geos = {"pack512x256": (512, 256, 4), "pack512x512": (512, 512, 2),
-            "pack1024x512": (1024, 512, 3)}
+            "pack1024x512": (1024, 512, 3),
+            # 512 streamed rows per 512-slot group: ~282 mean + <=127
+            # alignment + 6 sigma tail still fits; halves the one-hot
+            # compare AND MXU work of 512/512/2.
+            "pack512x256x2": (512, 256, 2),
+            "pack512x128x3": (512, 128, 3),
+            "pack256x128x3": (256, 128, 3),
+            "pack384x256x2": (384, 256, 2)}
     for name in which:
         if name in geos:
             g, c, m = geos[name]
@@ -99,6 +110,43 @@ def main():
                 return {"o": o + v[0, 0] * 1e-30}, None
 
             run(name, body, {"o": jnp.ones((bcfg.slots, 2), f32)})
+        elif name == "xlascatter":
+            # Round-2 pack baseline re-measured scan-amortized: plain XLA
+            # row scatter of the (presorted -> MONOTONE bpos) feature rows
+            # into a sentinel-prefilled plane.  The pack kernel was built
+            # against the ISOLATED 28.6-137 ms scatter numbers; real
+            # scan-amortized scatters are ~6 ms at 1M (DESIGN_NOTES).
+            def body(cr, _):
+                ft = cr["feat"] * 1.0000001
+                pk = jnp.broadcast_to(sent1, (bcfg.slots, NUM_F))
+                pk = pk.at[bpos].set(ft, mode="drop")
+                return {"feat": ft + pk[0, 0] * 1e-30}, None
+
+            run(name, body, {"feat": feat})
+        elif name == "ssgather":
+            # Gather formulation of the pack: slot s's row is
+            # tile_start[s // bucket] + (s % bucket), valid while rank <
+            # occupancy — searchsorted over the sorted tile keys + one
+            # MONOTONE row gather of [slots, NUM_F] (monotone gathers are
+            # ~2x cheaper than random, DESIGN_NOTES).
+            key_s = tile_key(bcfg, pos, alive)
+            b = bcfg.bucket
+
+            def body(cr, _):
+                ft = cr["feat"] * 1.0000001
+                tstart = jnp.searchsorted(
+                    key_s, jnp.arange(bcfg.n_tiles + 1, dtype=key_s.dtype)
+                ).astype(jnp.int32)
+                s = jnp.arange(bcfg.slots, dtype=jnp.int32)
+                t = s // b
+                r = s % b
+                row = tstart[t] + r
+                valid = row < tstart[t + 1]
+                rowc = jnp.clip(row, 0, N - 1)
+                pk = jnp.where(valid[:, None], ft[rowc], sent1)
+                return {"feat": ft + pk[0, 0] * 1e-30}, None
+
+            run(name, body, {"feat": feat})
         elif name == "kernel":
             def body(cr, _):
                 p = cr["p"] * 1.0000001

@@ -1,0 +1,62 @@
+"""A/B the integer-priority force specialization, standalone kernel."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from perf.step_parts import setup  # noqa: E402
+import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal  # noqa: E402
+from rmf_crowdsim_tpu.ops.zanlungo_pallas import bucketize, tile_key  # noqa: E402
+from perf.strip_ab import measure as _measure  # noqa: E402
+
+
+def main():
+    cfg, bcfg, carry, zp, zp4 = setup()
+    key = tile_key(bcfg, carry["pos"], carry["alive"])
+    order = jnp.argsort(key, stable=True)
+    packed_t, bpos, occ, dropped = jax.jit(
+        lambda p, v: bucketize(
+            bcfg, p, v, v, v, carry["prio"][order], carry["eye"][order],
+            v, carry["alive"][order], use_pack_kernel=True, presorted=True)
+    )(carry["pos"][order], carry["vel"][order])
+    print(f"occ={int(occ)} dropped={int(dropped)}", flush=True)
+
+    import time
+
+    def measure(tag, int_prio):
+        def body(cr, _):
+            p = cr["p"] * 1.0000001
+            o = zpal.zanlungo_forces_bucketed(bcfg, zp4, p,
+                                              int_prio=int_prio)
+            return {"p": p + o[0, 0] * 1e-30}, None
+
+        def timed(k):
+            f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=k)[0])
+            t0 = time.time()
+            out = f({"p": packed_t})
+            _ = float(out["p"][0, 0])
+            comp = time.time() - t0
+            best = 1e9
+            for _ in range(4):
+                t0 = time.perf_counter()
+                out = f({"p": packed_t})
+                _ = float(out["p"][0, 0])
+                best = min(best, time.perf_counter() - t0)
+            return best, comp
+
+        t1, c1 = timed(1)
+        t21, c21 = timed(21)
+        print(f"{tag:16s}: {(t21 - t1) / 20 * 1e3:7.3f} ms/op  "
+              f"[compiles {c1:.0f}/{c21:.0f}s]", flush=True)
+
+    measure("general", False)
+    measure("int_prio", True)
+
+
+if __name__ == "__main__":
+    main()

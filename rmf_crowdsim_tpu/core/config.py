@@ -133,6 +133,17 @@ class SimConfig:
     # index); agent identity is ``uid``, slot indices are not stable
     # across steps (they never were part of the public API).
     presort: bool = False
+    # Every pair's Zanlungo priority difference is an integer (0 or
+    # magnitude >= 1).  True for the reference's DEFAULT priorities —
+    # the agent id (zanlungo.rs:94-98, 183-184; this framework defaults
+    # priority to the uid, core/simulation.py add_agents) — and lets the
+    # force kernel drop the right-of-way sqrt and the slerp asin/sin
+    # polynomials (ops/zanlungo_pallas._pair_force int_prio; ~2.4 ms of
+    # the 1M kernel).  Tolerance-level (ULP) output differences only.
+    # The host session validates set_priority calls against this flag
+    # (core/simulation.py).  Leave False if agents get fractional
+    # priorities.
+    integer_priorities: bool = False
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation

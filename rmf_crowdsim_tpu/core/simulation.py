@@ -224,7 +224,21 @@ class Simulation:
     def set_priority(self, agent_id: int, priority: float) -> None:
         """Override an agent's Zanlungo right-of-way priority — the
         reference's ``agent_priorities`` map (zanlungo.rs:17, defaulting to
-        the agent id)."""
+        the agent id).
+
+        With ``config.integer_priorities`` the force kernel is
+        specialized to integer priority DIFFERENCES (the default uid
+        priorities qualify); a fractional override would silently break
+        that contract, so it raises here — set the flag False for
+        fractional priority schemes."""
+        if getattr(self.config, "integer_priorities", False) and \
+                float(priority) != float(int(priority)):
+            raise ValueError(
+                f"priority {priority!r} is not an integer but "
+                "config.integer_priorities promises integer priority "
+                "differences (the int_prio kernel specialization); "
+                "set integer_priorities=False for fractional priorities"
+            )
         slot = self._slot_of(agent_id)
         self.state = self.state.replace(
             priority=self.state.priority.at[slot].set(priority)

@@ -345,6 +345,8 @@ def build_step(
                         use_pack_kernel=config.use_pack_kernel,
                         spill_capacity=config.spill_capacity,
                         presorted=presort,
+                        int_prio=getattr(config, "integer_priorities",
+                                         False),
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped

@@ -408,7 +408,7 @@ class Zanlungo(LocalPlanner):
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
-                   presorted: bool = False):
+                   presorted: bool = False, int_prio: bool = False):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -431,7 +431,7 @@ class Zanlungo(LocalPlanner):
                 world_mesh, bucket_cfg, params, state.position,
                 state.velocity, self_pref, state.preferred_vel,
                 state.priority, state.eyesight, state.alive, rec_vel,
-                interpret=interpret,
+                interpret=interpret, int_prio=int_prio,
             )
         from ..ops.zanlungo_pallas import zanlungo_fused
 
@@ -440,4 +440,5 @@ class Zanlungo(LocalPlanner):
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
             spill_capacity=spill_capacity, presorted=presorted,
+            int_prio=int_prio,
         )

@@ -47,13 +47,19 @@ _SENT_NP[0, ROW_ID] = -1.0
 ROW_BPOS = 13   # bucket slot of this row, as f32
 ROW_ONE = 15    # constant 1.0 on real rows (hit counting)
 
-# Geometry (round-3 A/B, perf/ab_pack.py at 1M: 512/256/4 = 12.4 ms,
-# 512/512/2 = 12.3, 1024/512/3 = 14.7): bigger GROUPs lose — the
-# [GROUP, CHUNK] one-hot compare work scales with GROUP and beats the
-# DMA-count savings.  512-slot groups with 512-row chunks keep the
-# original compare work at half the DMA issues.
+# Geometry (perf/ab_pack.py at 1M).  The kernel's one-hot compare AND
+# MXU work both scale with the rows STREAMED per group
+# (CHUNK * MAX_CHUNKS), so the knob is how tight that window sits above
+# the true row span per group (mean GROUP * fill + <=127 DMA alignment
+# + the Poisson tail; overflow is counted and surfaced loudly).
+# Measured: 512/512/2 (1024 rows) = 12.2 ms, 512/256/2 (512 rows) =
+# 7.8, 384/256/2 = 8.9, 256/128/3 = 11.5 (program overhead), 512/128/3
+# (384 rows) = 7.2 but OVERFLOWS ~11k rows at 1M — dishonest, don't.
+# 512-slot groups span <=454 rows at the bench's 55% fill (observed max
+# over 3585 groups; mean 342): 512 streamed rows leave ~3.4 sigma above
+# the observed max.
 GROUP = 512         # slots per kernel program
-CHUNK = 512         # rows per inner DMA/matmul
+CHUNK = 256         # rows per inner DMA/matmul
 MAX_CHUNKS = 2      # rows streamed per group <= CHUNK * MAX_CHUNKS
 
 

@@ -443,27 +443,51 @@ def _sin0hp(x):
 
 
 def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
-                cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask):
+                cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask,
+                int_prio: bool = False):
     """Pairwise force [Q, C] given per-query min TTC ``t_i`` [Q, 1]
     (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity).
 
     Divisions by per-query (t_i) and scalar (force_distance) values are
     hoisted to reciprocals outside the [Q, C] pair math — VPU divides
-    are multi-op and the kernel is instruction-rate bound."""
+    are multi-op and the kernel is instruction-rate bound.
+
+    ``int_prio`` (static): the caller guarantees every pair's priority
+    difference is an INTEGER — the reference's default, where priority
+    is the agent id (zanlungo.rs:94-98, 183-184).  Then ``row =
+    clip(qprio - cprio, -1, 1)`` is exactly -1, 0 or +1, and the
+    right-of-way math collapses: ``sqrt(|row|) == |row|``, the velocity
+    mixing becomes selects (``mv == qv`` wherever the force is nonzero;
+    ``ov == pref`` on full right-of-way), and the slerp's
+    ``t = weight - 1`` is exactly 1, so ``sin((1-t)theta) == 0`` and the
+    slerped direction IS the perp vector — the asin/sin polynomials
+    (_asin01/_sin0hp, ~55 VPU ops/pair) drop out.  Tolerance-equal to
+    the general path (ULP differences from the dropped no-op
+    arithmetic, e.g. ``cv + 1.0*(cf - cv)`` vs ``cf``)."""
     agent_scale, force_distance, _mass, radius, force_cap = zp
 
     # right_of_way_vel (zanlungo.rs:173-198); sqrt(|row|) computed once
     row = jnp.clip(qprio - cprio, -1.0, 1.0)
-    r2 = jnp.sqrt(jnp.abs(row))
-    r2n = jnp.where(row < 0, r2, 0.0)
-    r2p = jnp.where(row > 0, r2, 0.0)
-    w = jnp.sign(row) * r2  # == the reference's three-way select
-    pos_row = row > 0
     neg_row = row < 0
-    mvx = jnp.where(pos_row, qvx + r2p * (qspx - qvx), qvx)
-    mvy = jnp.where(pos_row, qvy + r2p * (qspy - qvy), qvy)
-    ovx = jnp.where(neg_row, cvx + r2n * (cfx - cvx), cvx)
-    ovy = jnp.where(neg_row, cvy + r2n * (cfy - cvy), cvy)
+    if int_prio:
+        # row in {-1, 0, 1}: sign(row)*sqrt(|row|) == row; r2p/r2n are
+        # 0/1 indicators.  pos_row pairs (query outranks candidate) have
+        # weight == 0 => an EXACT zero contribution on both paths, so
+        # mv == qv everywhere the force survives.
+        w = row
+        mvx, mvy = qvx, qvy
+        ovx = jnp.where(neg_row, cfx, cvx)
+        ovy = jnp.where(neg_row, cfy, cvy)
+    else:
+        r2 = jnp.sqrt(jnp.abs(row))
+        r2n = jnp.where(row < 0, r2, 0.0)
+        r2p = jnp.where(row > 0, r2, 0.0)
+        w = jnp.sign(row) * r2  # == the reference's three-way select
+        pos_row = row > 0
+        mvx = jnp.where(pos_row, qvx + r2p * (qspx - qvx), qvx)
+        mvy = jnp.where(pos_row, qvy + r2p * (qspy - qvy), qvy)
+        ovx = jnp.where(neg_row, cvx + r2n * (cfx - cvx), cvx)
+        ovy = jnp.where(neg_row, cvy + r2n * (cfy - cvy), cvy)
 
     weight = 1.0 - w
     fut_x = qpx + mvx * t_i
@@ -496,22 +520,35 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     perp_x = jnp.where(stationary, perp_sx, perp_mx)
     perp_y = jnp.where(stationary, perp_sy, perp_my)
 
-    sin_theta = jnp.minimum(jnp.abs(perp_x * dy - perp_y * dx), 1.0)
-    theta = _asin01(sin_theta)
-    t_s = weight - 1.0
-    # (1-t)theta and t*theta both lie in [0, pi/2]: t in (0, 1] whenever
-    # the slerp branch is live (weight in (1, 2], zanlungo.rs:152).
-    # The reference's 1/sin(theta) slerp normalization (zanlungo.rs:27)
-    # is a POSITIVE scalar on the slerped vector, and the vector is only
-    # ever consumed as a unit direction below — the factor cancels, so
-    # the [Q, C] divide is dropped (direction identical to f32 noise).
-    s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI))
-    s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI))
-    # One fused select: slerp applies only when live AND sin > 0 (the
-    # reference keeps dx on the degenerate sin == 0 branch).
-    slerp_live = (weight > 1.0) & interpolate & (sin_theta > 0)
-    dx = jnp.where(slerp_live, dx * s0 + perp_x * s1, dx)
-    dy = jnp.where(slerp_live, dy * s0 + perp_y * s1, dy)
+    if int_prio:
+        # t = weight - 1 == 1 on live slerp lanes: sin((1-t)theta) == 0
+        # exactly (the general path's _sin0hp(0) is exactly 0 too) and
+        # sin(t*theta) == sin_theta > 0 — the slerped vector is
+        # perp * sin_theta, consumed only as a unit direction below, so
+        # the positive sin_theta factor cancels and the direction IS
+        # perp.  sin_theta survives only as the degenerate-branch test.
+        cross = perp_x * dy - perp_y * dx
+        slerp_live = neg_row & interpolate & (jnp.abs(cross) > 0)
+        dx = jnp.where(slerp_live, perp_x, dx)
+        dy = jnp.where(slerp_live, perp_y, dy)
+    else:
+        sin_theta = jnp.minimum(jnp.abs(perp_x * dy - perp_y * dx), 1.0)
+        theta = _asin01(sin_theta)
+        t_s = weight - 1.0
+        # (1-t)theta and t*theta both lie in [0, pi/2]: t in (0, 1]
+        # whenever the slerp branch is live (weight in (1, 2],
+        # zanlungo.rs:152).  The reference's 1/sin(theta) slerp
+        # normalization (zanlungo.rs:27) is a POSITIVE scalar on the
+        # slerped vector, and the vector is only ever consumed as a unit
+        # direction below — the factor cancels, so the [Q, C] divide is
+        # dropped (direction identical to f32 noise).
+        s0 = _sin0hp(jnp.clip((1.0 - t_s) * theta, 0.0, _HALF_PI))
+        s1 = _sin0hp(jnp.clip(t_s * theta, 0.0, _HALF_PI))
+        # One fused select: slerp applies only when live AND sin > 0 (the
+        # reference keeps dx on the degenerate sin == 0 branch).
+        slerp_live = (weight > 1.0) & interpolate & (sin_theta > 0)
+        dx = jnp.where(slerp_live, dx * s0 + perp_x * s1, dx)
+        dy = jnp.where(slerp_live, dy * s0 + perp_y * s1, dy)
 
     d2n = dx * dx + dy * dy
     inv_d = jnp.where(d2n > 0, jax.lax.rsqrt(jnp.where(d2n > 0, d2n, 1.0)),
@@ -538,7 +575,8 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
 
 
 def _make_kernel(cfg: BucketConfig,
-                 compact_pass2: bool = True):
+                 compact_pass2: bool = True,
+                 int_prio: bool = False):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
@@ -736,7 +774,7 @@ def _make_kernel(cfg: BucketConfig,
                     pfx, pfy = _pair_force(
                         zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_,
                         qprio_, cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_,
-                        masks[k],
+                        masks[k], int_prio=int_prio,
                     )
                     fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
                     fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
@@ -847,6 +885,7 @@ def _make_kernel(cfg: BucketConfig,
                     zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
                     cpx_, cpy_, cvx_, cvy_,
                     ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
+                    int_prio=int_prio,
                 )
                 write_out(
                     t_i,
@@ -867,15 +906,16 @@ def _make_kernel(cfg: BucketConfig,
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
-                             compact_pass2: bool = True):
+                             compact_pass2: bool = True,
+                             int_prio: bool = False):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
     agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
     [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
-    kernel, q_len, w_ext = _make_kernel(cfg,
-                                        compact_pass2=compact_pass2)
+    kernel, q_len, w_ext = _make_kernel(cfg, compact_pass2=compact_pass2,
+                                        int_prio=int_prio)
     n_strips = cfg.ty // cfg.strip_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -915,7 +955,7 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 pref_committed, priority, eyesight, alive, rec_vel,
                 packed_t, bucket_pos, vel,
                 spill_capacity: int, chunk: int = 16,
-                interpret: bool = False):
+                interpret: bool = False, int_prio: bool = False):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
@@ -997,7 +1037,7 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 cfg, zp, packed_t,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 sp_tcx[:cap], sp_tcy[:cap], spill_valid[:cap], chunk,
-                interpret=interpret,
+                interpret=interpret, int_prio=int_prio,
             )
             # Overwrite AFFECTED rows only: a window query's force sum
             # changed iff some spill sits strictly within its eyesight
@@ -1219,7 +1259,8 @@ def _spill_groups_xla(cfg: BucketConfig, zp, packed_t, sp: dict,
     return out, q_id, q_slots
 
 
-def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
+def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int,
+                       int_prio: bool = False):
     """One program per spill: recompute the spill's 3x3 window queries
     against its full 5x5 candidate window + the spill list, entirely in
     VMEM.  The XLA version above materializes [chunk, 9b+1, 5*run+cap]
@@ -1313,6 +1354,7 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
             pfx, pfy = _pair_force(
                 zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
                 cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_, mask,
+                int_prio=int_prio,
             )
             has = jnp.isfinite(t_i)
             inv_mass = 1.0 / zp[2]
@@ -1330,7 +1372,8 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int):
 
 
 def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
-                                sp_tcx, sp_tcy, interpret: bool):
+                                sp_tcx, sp_tcy, interpret: bool,
+                                int_prio: bool = False):
     """Pallas path for the WINDOW-query part of :func:`_spill_groups`:
     out_win [S, 9b, 2] velocities for the spill's 3x3-tile queries (rows
     for empty/invalid slots are garbage — callers mask by q_id).  sp_t:
@@ -1338,7 +1381,8 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
     b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
     cap = sp_tcx.shape[0]
     cap_pad = sp_t.shape[1]
-    kernel, ext, cw, q_len = _make_spill_kernel(cfg, cap, cap_pad)
+    kernel, ext, cw, q_len = _make_spill_kernel(cfg, cap, cap_pad,
+                                                 int_prio=int_prio)
 
     bx = jnp.clip(sp_tcx - 2, 0, tx - 5)
     by = jnp.clip(sp_tcy - 2, 0, ty - 5)
@@ -1395,7 +1439,7 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
 
 def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
                   sp_tcx, sp_tcy, spill_valid, chunk: int,
-                  interpret: bool = False):
+                  interpret: bool = False, int_prio: bool = False):
     """Per-spill group evaluation: same contract as
     :func:`_spill_groups_xla` (out [S, 9b+1, 2], q_id [S, 9b+1],
     q_slots [S, 9b]) but the window-query pair math runs in the Pallas
@@ -1448,7 +1492,7 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
 
     out_win = _spill_groups_window_pallas(
         cfg, zp5, packed_t, sp_rows[:, :NUM_CAND].T, sp_tcx, sp_tcy,
-        interpret,
+        interpret, int_prio=int_prio,
     )                                                        # [S, 9b, 2]
 
     # Window-query bookkeeping (identical to the XLA version).
@@ -1523,7 +1567,8 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
-                   spill_capacity: int = 0, presorted: bool = False):
+                   spill_capacity: int = 0, presorted: bool = False,
+                   int_prio: bool = False):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -1544,7 +1589,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     )
     zparams4 = zparams5(zp)
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
-                                   interpret=interpret)
+                                   interpret=interpret, int_prio=int_prio)
     ok = (bucket_pos < cfg.slots) & alive
     # Plain row gather: with presort the indices are MONOTONE, which the
     # hardware rewards (~5.4 ms at 1M vs ~10 for random order); a Pallas
@@ -1582,7 +1627,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         vel, unresolved = spill_patch(
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
-            spill_capacity, interpret=interpret,
+            spill_capacity, interpret=interpret, int_prio=int_prio,
         )
         pack_over = dropped - n_bucket_over  # pack-kernel window overflow
         dropped = (unresolved + pack_over).astype(jnp.int32)

@@ -42,7 +42,7 @@ def _sentinel_block(col_slots: int):
 
 
 def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
-                          interpret: bool = False):
+                          interpret: bool = False, int_prio: bool = False):
     """Run the fused force kernel with the world sharded over
     ``mesh[WORLD_AXIS]``.  ``cfg.tx`` must divide by the mesh size.
     Returns [slots, 2] velocities (sharded over slots)."""
@@ -71,7 +71,8 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
         right = jnp.where(i == d - 1, sentinel, right)
         ext = jnp.concatenate([left, block, right], axis=0)
         out_ext = zanlungo_forces_bucketed(local_cfg, z4, ext,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           int_prio=int_prio)
         # Drop the halo columns' (wasted) query outputs.
         return out_ext[col_slots:col_slots + cols_per * col_slots]
 
@@ -87,7 +88,8 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
 
 def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
                           velocity, self_pref, pref_committed, priority,
-                          eyesight, alive, rec_vel, interpret: bool = False):
+                          eyesight, alive, rec_vel, interpret: bool = False,
+                          int_prio: bool = False):
     """Domain-sharded version of ops.zanlungo_pallas.zanlungo_fused: same
     signature + mesh; same results."""
     dtype = position.dtype
@@ -97,6 +99,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     )
     zparams4 = zparams5(zp)
     out = forces_domain_sharded(mesh, cfg, zparams4, packed_t,
+                                int_prio=int_prio,
                                 interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive

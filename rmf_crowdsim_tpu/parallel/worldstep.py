@@ -388,7 +388,8 @@ def build_world_step(
         packed = packed.at[(cols_per + H) * col_slots:].set(right_halo)
 
         out = zanlungo_forces_bucketed(
-            ext_cfg, zp, packed, interpret=config.pallas_interpret
+            ext_cfg, zp, packed, interpret=config.pallas_interpret,
+            int_prio=getattr(config, "integer_priorities", False),
         )
 
         if use_spills:
@@ -513,6 +514,7 @@ def build_world_step(
             g_out, q_id, _q_slots = _spill_groups(
                 ext_cfg, zp_tree, packed, sp, tcx, tcy, mvalid, chunk=16,
                 interpret=config.pallas_interpret,
+                int_prio=getattr(config, "integer_priorities", False),
             )
             # Window-query outputs, written straight to their packed
             # slots.  ROW_ID < m are MY rows; halo rows (>= m) belong to

@@ -290,6 +290,21 @@ def test_remove_event_listener():
     assert len(listener.added) == 1  # not called after removal
 
 
+def test_set_priority_integer_guard():
+    """config.integer_priorities promises integer priority differences
+    (the int_prio kernel specialization); a fractional set_priority
+    must raise instead of silently breaking the contract, while integer
+    overrides stay allowed."""
+    from rmf_crowdsim_tpu import ConstantVelocity, NoLocalPlan
+
+    sim = make_sim(integer_priorities=True)
+    ids = sim.add_agents([(0.0, 0.0)], ConstantVelocity((1.0, 0.0)),
+                         NoLocalPlan(), agent_eyesight_range=1.0)
+    sim.set_priority(ids[0], 5.0)  # integral: fine
+    with pytest.raises(ValueError, match="integer_priorities"):
+        sim.set_priority(ids[0], 0.5)
+
+
 def test_set_priority_changes_right_of_way():
     """zanlungo.rs:17: per-agent priority overrides change which agent
     yields.  Symmetric head-on pair: the lower-priority agent slows."""

@@ -259,6 +259,85 @@ def test_spill_patch_repairs_overflow_exactly():
     assert err > 1e-3, "truncation should visibly corrupt physics"
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_int_prio_matches_oracle(seed):
+    """The integer-priority kernel specialization
+    (ops/zanlungo_pallas._pair_force int_prio) must match the GENERAL
+    oracle on integer priorities — the reference's default, where
+    priority is the agent id (zanlungo.rs:94-98).  random_scene's
+    permutation priorities qualify."""
+    n = 96
+    world = 24.0
+    eyesight_max = 3.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    scene = random_scene(seed, n, world, eyesight_max)
+    alive = scene[6]
+
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True, int_prio=True)
+    assert int(max_occ) <= cfg.bucket
+    want = oracle(zp, scene)
+    a = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_int_prio_equal_priorities():
+    """Equal priorities (row == 0 everywhere) exercise the int_prio
+    specialization's zero-row branch: weight 1, no right-of-way mixing,
+    no slerp (zanlungo.rs:101-107)."""
+    n = 64
+    world = 16.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 2.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    scene = list(random_scene(4, n, world, 2.0))
+    scene[4] = jnp.full((n,), 7.0, jnp.float32)  # all priorities equal
+    scene = tuple(scene)
+
+    got, _, _ = zanlungo_fused(cfg, zp, *scene, interpret=True,
+                               int_prio=True)
+    want = oracle(zp, scene)
+    a = np.asarray(scene[6])
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spill_patch_int_prio_matches_oracle():
+    """int_prio threads through the spill kernel too: an overflowing
+    scene with integer priorities must still match the oracle exactly
+    through the patch."""
+    n = 96
+    world = 24.0
+    eyesight_max = 3.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), eyesight_max,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    rng = np.random.default_rng(11)
+    f32 = jnp.float32
+    pos = rng.uniform(0.0, world, (n, 2))
+    pos[:30] = rng.uniform(9.0, 11.5, (30, 2))
+    pos = jnp.asarray(pos, f32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    self_pref = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    prio = jnp.asarray(rng.permutation(n).astype(np.float32))
+    eye = jnp.asarray(rng.uniform(0.5, eyesight_max, (n,)), f32)
+    alive = jnp.asarray(rng.random(n) > 0.1)
+    rec = jnp.asarray(rng.uniform(-2, 2, (n, 2)), f32)
+    scene = (pos, vel, self_pref, pref, prio, eye, alive, rec)
+
+    got, max_occ, dropped = zanlungo_fused(
+        cfg, zp, *scene, interpret=True, spill_capacity=64, int_prio=True)
+    assert int(max_occ) > cfg.bucket and int(dropped) == 0
+    want = oracle(zp, scene)
+    a = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_spill_patch_cap_overrun_is_counted():
     """Overflow beyond the static caps must surface in `dropped`."""
     n = 64
@@ -319,7 +398,7 @@ def test_spill_groups_xla_fallback_matches_oracle(monkeypatch):
     import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal
 
     def xla_groups(cfg, zp, packed_t, sp, tcx, tcy, valid, chunk,
-                   interpret=False):
+                   interpret=False, int_prio=False):
         return zpal._spill_groups_xla(cfg, zp, packed_t, sp, tcx, tcy,
                                       valid, chunk)
 
