@@ -48,31 +48,36 @@ ROW_BPOS = 13   # bucket slot of this row, as f32
 ROW_ONE = 15    # constant 1.0 on real rows (hit counting)
 
 # Geometry (perf/ab_pack.py at 1M).  The kernel's one-hot compare AND
-# MXU work both scale with the rows STREAMED per group
-# (CHUNK * MAX_CHUNKS), so the knob is how tight that window sits above
-# the true row span per group (mean GROUP * fill + <=127 DMA alignment
-# + the Poisson tail; overflow is counted and surfaced loudly).
-# Measured: 512/512/2 (1024 rows) = 12.2 ms, 512/256/2 (512 rows) =
-# 7.8, 384/256/2 = 8.9, 256/128/3 = 11.5 (program overhead), 512/128/3
-# (384 rows) = 7.2 but OVERFLOWS ~11k rows at 1M — dishonest, don't.
-# 512-slot groups span <=454 rows at the bench's 55% fill (observed max
-# over 3585 groups; mean 342): 512 streamed rows leave ~3.4 sigma above
-# the observed max.
+# MXU work both scale with the rows STREAMED per group, so the chunk
+# count is DYNAMIC per group (prefetched scalar): a group streams only
+# ceil(span / CHUNK) chunks of its true row span (mean GROUP * fill +
+# <=127 DMA alignment + any interleaved bucket-overflow rows — a
+# hotspot tile's drops sit inside the span, so spans are NOT bounded
+# by GROUP and the overflow audit must stay).  MAX_CHUNKS * CHUNK is
+# the worst-case window, kept at the old production 1024 rows; beyond
+# it rows surface as pack drops (loud, host raises).  Measured (static
+# counts): 512/512/2 (1024 rows) = 12.2 ms, 512/256/2 (512 rows) =
+# 7.8 but overflows scenes with group fill > ~75% (the gentle-1M
+# scene), 512/128/3 = 7.2, overflows even at 55% fill.  Dynamic counts
+# give the 7.8-class cost on the bench scene (mean span 342 -> 2
+# chunks) with the full 1024-row worst-case coverage.
 GROUP = 512         # slots per kernel program
 CHUNK = 256         # rows per inner DMA/matmul
-MAX_CHUNKS = 2      # rows streamed per group <= CHUNK * MAX_CHUNKS
+MAX_CHUNKS = 4      # worst-case rows streamed = CHUNK * MAX_CHUNKS
 
 
 def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
                  chunk_sz: int = CHUNK, max_chunks: int = MAX_CHUNKS):
     GROUP, CHUNK, MAX_CHUNKS = group, chunk_sz, max_chunks
 
-    def kernel(meta_ref, feat_t_any, sent_ref, out_ref, chunks, region, sem):
+    def kernel(r0_ref, nc_ref, feat_t_any, sent_ref, out_ref, chunks,
+               region, sem):
         # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
         # DMA lane offsets/extents to be 128-aligned, so row chunks are
-        # read lane-major at 128-aligned starts (meta is align128'd).
+        # read lane-major at 128-aligned starts (r0 is align128'd).
         g = pl.program_id(0)
-        r0 = meta_ref[g]
+        r0 = r0_ref[g]
+        nc = nc_ref[g]  # chunks this group actually spans (<= MAX_CHUNKS)
 
         def chunk_dma(c, slot):
             start = jnp.clip(r0 + c * CHUNK, 0, n_pad - CHUNK)
@@ -83,15 +88,19 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
                 sem.at[slot],
             )
 
-        chunk_dma(0, 0).start()
+        @pl.when(nc > 0)
+        def _():
+            chunk_dma(0, 0).start()
+
         region[...] = jnp.zeros((GROUP, NUM_F), jnp.float32)
         base = (g * GROUP).astype(jnp.float32)
 
         def body(c, _):
-            slot = jax.lax.rem(c, 2)
-            nslot = jax.lax.rem(c + 1, 2)
+            two = jnp.asarray(2, c.dtype)
+            slot = jax.lax.rem(c, two)
+            nslot = jax.lax.rem(c + 1, two)
 
-            @pl.when(c + 1 < MAX_CHUNKS)
+            @pl.when(c + 1 < nc)
             def _():
                 chunk_dma(c + 1, nslot).start()
 
@@ -143,7 +152,9 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
 
             return 0
 
-        jax.lax.fori_loop(0, MAX_CHUNKS, body, 0)
+        # Dynamic trip count: groups stream only the chunks their row
+        # span covers (most groups need ceil(GROUP*fill/CHUNK)).
+        jax.lax.fori_loop(0, nc, body, 0)
 
         filled = region[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
         out_ref[...] = region[...] + (1.0 - filled) * sent_ref[...]
@@ -180,15 +191,30 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     ).astype(jnp.int32)
     r0 = (row_lo // 128) * 128  # 128-aligned DMA starts (lane dim)
 
-    # Overflow audit: rows belonging to group g live in
-    # [row_lo[g], row_lo[g+1]) (plus interleaved drops); the kernel streams
-    # MAX_CHUNKS*CHUNK rows from r0.
+    # Rows belonging to group g live in [row_lo[g], row_lo[g+1])
+    # INCLUDING interleaved non-packable rows (bucket-overflow drops
+    # carry the previous valid slot in the monotone envelope; dead/
+    # sentinel rows sort last and pad the FINAL group's span — a
+    # persistent-engine rebin feeds ~45% dead rows), so spans are not
+    # bounded by GROUP.  The kernel streams ceil(span/CHUNK) chunks
+    # from r0, capped at MAX_CHUNKS.  The overflow audit counts only
+    # IN-BUCKET rows beyond the streamed window — rows that actually
+    # lost their slot (surface as pack drops; callers raise on
+    # truncation).  Counting raw span overhang instead reported ~835k
+    # phantom drops per persistent rebin from the dead tail.
     row_hi = jnp.concatenate(
         [row_lo[1:], jnp.asarray([n], jnp.int32)]
     )
-    overflow = jnp.sum(
-        jnp.maximum(row_hi - r0 - MAX_CHUNKS * CHUNK, 0)
+    span = row_hi - r0
+    n_chunks = jnp.clip(
+        (span + CHUNK - 1) // CHUNK, 0, MAX_CHUNKS
     ).astype(jnp.int32)
+    inb = (bpos_sorted < slots).astype(jnp.int32)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(inb, dtype=jnp.int32)]
+    )  # [n + 1]: in-bucket rows before index i
+    win_end = jnp.minimum(r0 + MAX_CHUNKS * CHUNK, row_hi)
+    overflow = jnp.sum(prefix[row_hi] - prefix[win_end]).astype(jnp.int32)
 
     # Pad rows to a DMA-safe length (padding rows select nothing: their
     # ROW_BPOS is `slots`, outside every group).
@@ -199,7 +225,7 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     feat_t_pad = jnp.concatenate([feat_sorted, pad_rows], axis=0).T
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -220,5 +246,5 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
         out_shape=jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(r0, feat_t_pad, jnp.asarray(_SENT_NP))
+    )(r0, n_chunks, feat_t_pad, jnp.asarray(_SENT_NP))
     return packed[:slots], overflow

@@ -210,10 +210,57 @@ def test_pack_kernel_overflow_diagnostic():
     feat = feat.at[:, 13].set(bpos.astype(jnp.float32))
     feat = feat.at[:, 15].set(1.0)
     packed, overflow = pack_rows_pallas(feat, bpos, slots, interpret=True)
-    # Everything needed fits (8 real rows at the window start): overflow
-    # counts only the unreachable tail rows of group 0's row range.
+    # Everything needed fits (8 real rows at the window start): the
+    # interleaved drop rows (bpos == slots) inflate the group's raw SPAN
+    # past the window but are not packable, so the exact audit reports 0.
     assert packed.shape == (slots, NUM_F)
-    assert int(overflow) >= 0  # diagnostic is well-defined
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(packed[:8, 15]), 1.0)
+
+    # Genuine loss: more IN-BUCKET rows in one group's window than the
+    # stream can reach (slot stride 128 spreads 40 real rows over a
+    # window whose span the interleaved drops push past the cap).
+    window = CHUNK * MAX_CHUNKS
+    n2 = window + 512
+    bpos2 = np.full((n2,), slots, np.int32)
+    # 12 in-bucket rows past the window end, in group 0 (slots 0..511
+    # with GROUP=512): rows 0..7 -> slots 0..7, rows beyond the window
+    # -> slots 100..111.
+    bpos2[:8] = np.arange(8)
+    bpos2[window + 100:window + 112] = np.arange(100, 112)
+    bpos2 = jnp.asarray(bpos2)
+    feat2 = jnp.zeros((n2, NUM_F), jnp.float32)
+    feat2 = feat2.at[:, 13].set(bpos2.astype(jnp.float32))
+    feat2 = feat2.at[:, 15].set(1.0)
+    _, overflow2 = pack_rows_pallas(feat2, bpos2, slots, interpret=True)
+    assert int(overflow2) == 12
+
+
+def test_pack_kernel_dead_tail_not_counted_as_overflow():
+    """A large dead/dropped tail (bpos == slots) sorts last and sits
+    inside the FINAL group's row span — a persistent-engine rebin feeds
+    ~45% dead rows this way.  The audit must not count it: the old
+    span-based audit reported ~835k phantom drops per 1M rebin."""
+    from rmf_crowdsim_tpu.ops.pack_pallas import pack_rows_pallas
+    from rmf_crowdsim_tpu.ops.zanlungo_pallas import NUM_F
+
+    slots = 512 * 3
+    n_real = 64
+    n_dead = 4096  # tail far bigger than the streaming window
+    n = n_real + n_dead
+    bpos = np.full((n,), slots, np.int32)
+    # Real rows land in the LAST group (slots 1024..1535) so the dead
+    # tail extends that same group's span.
+    bpos[:n_real] = 1024 + np.arange(n_real)
+    bpos = jnp.asarray(bpos)
+    feat = jnp.zeros((n, NUM_F), jnp.float32)
+    feat = feat.at[:, 13].set(bpos.astype(jnp.float32))
+    feat = feat.at[:, 15].set(1.0)
+    packed, overflow = pack_rows_pallas(feat, bpos, slots, interpret=True)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(packed[1024:1024 + n_real, 15]), 1.0
+    )
 
 
 def test_spill_patch_repairs_overflow_exactly():
