@@ -272,6 +272,10 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     use_pack = config.use_pack_kernel
     # Rounded to the spill-group chunk size (16).
     s_cap = ((max(16, int(config.spill_capacity)) + 15) // 16) * 16
+    # Evictions only run while the spill buffer stays within the cheap
+    # patch tier (see the eviction-policy comment below); this cap bounds
+    # both the gate and the eviction compaction width.
+    _EVICT_CAP = min(64, s_cap)
     slots = bucket_cfg.slots
     n_ext = slots + s_cap
     assert n_ext < _ID_BASE and config.capacity < _ID_BASE, (
@@ -400,7 +404,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             # s_cap pushed every subsequent step onto the top patch tier
             # — the measured 160 ms/step.  So: evict only while the
             # buffer stays within the cheap tier; rebin otherwise.
-            evict_ok = (n_exceed + n_live_s) <= jnp.int32(min(64, s_cap))
+            evict_ok = (n_exceed + n_live_s) <= jnp.int32(_EVICT_CAP)
             need_rebin = (n_exceed > 0) & ~evict_ok
 
             def do_rebin(args):
@@ -420,22 +424,26 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
 
             def do_evict(args):
                 p, sp_ = args
-                # Worst drifters first (top_k also caps the compaction
-                # at s_cap without a full-array scatter).
-                key = jnp.where(exceed, drift, -jnp.inf)
-                top, idx = jax.lax.top_k(key, s_cap)
-                valid = jnp.isfinite(top) & (top > skin)
-                rows = p[idx]                       # [s_cap, NUM_F]
+                # Ordered compaction of the exceeder slots.  The evict
+                # gate guarantees n_exceed + n_live_s <= the tier cap,
+                # so every exceeder fits a free entry and eviction order
+                # is irrelevant (the old worst-drifter-first lax.top_k
+                # over the full [slots] plane cost ~45 ms/step at 1M —
+                # it ran on EVERY step with any exceeder).
+                ec = compact_indices(exceed, _EVICT_CAP)
+                valid = ec.valid
+                idx = jnp.clip(ec.idx, 0, slots - 1)
+                rows = p[idx]                       # [_EVICT_CAP, NUM_F]
                 # Free spill entries, ascending (buffer is front-filled
                 # and entries never free between rebins).
                 free_rank = jnp.sort(jnp.where(
                     ~alive_s, jnp.arange(s_cap, dtype=jnp.int32),
                     jnp.int32(s_cap),
                 ))
-                rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+                # Rank r eviction -> r-th free entry (compaction is
+                # ordered, so rank r is just r; _EVICT_CAP <= s_cap).
                 tgt = jnp.where(
-                    valid, free_rank[jnp.clip(rank, 0, s_cap - 1)],
-                    jnp.int32(s_cap),
+                    valid, free_rank[:_EVICT_CAP], jnp.int32(s_cap)
                 )
                 sp_ = sp_.at[tgt].set(rows, mode="drop")
                 # Position-based spill ids (unique past every packed id).
@@ -446,7 +454,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
                     -1.0,
                 ))
                 # Sentinelize the evicted packed slots.
-                sent_row = sentinel_rows(s_cap)
+                sent_row = sentinel_rows(_EVICT_CAP)
                 p = p.at[jnp.where(valid, idx, slots)].set(
                     sent_row, mode="drop"
                 )
