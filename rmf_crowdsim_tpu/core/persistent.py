@@ -167,7 +167,8 @@ def _rebin(cfg: BucketConfig, packed, spill, s_cap: int,
 
 
 def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
-                  spill_valid, interpret: bool = False):
+                  spill_valid, interpret: bool = False,
+                  int_prio: bool = False):
     """Slot-space spill patch: recompute each spill row and its 3x3
     packed neighborhood exactly (ops/zanlungo_pallas._spill_groups) and
     overwrite the kernel's outputs.  Returns (out_slots, spill_vel
@@ -203,7 +204,7 @@ def _patch_spills(cfg: BucketConfig, zp, packed, spill, out_slots,
                 cfg, zp, packed,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 tcx[:cap], tcy[:cap], spill_valid[:cap], chunk=16,
-                interpret=interpret,
+                interpret=interpret, int_prio=int_prio,
             )
             win_valid = q_id[:, :-1] >= 0
             tgt = jnp.where(win_valid, q_slots, jnp.int32(cfg.slots))
@@ -270,6 +271,7 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
     )
     interp = config.pallas_interpret
     use_pack = config.use_pack_kernel
+    int_prio = getattr(config, "integer_priorities", False)
     # Rounded to the spill-group chunk size (16).
     s_cap = ((max(16, int(config.spill_capacity)) + 15) // 16) * 16
     # Evictions only run while the spill buffer stays within the cheap
@@ -364,11 +366,12 @@ def build_persistent_rollout(config: SimConfig, hl_planner: Any,
             # Fused Zanlungo forces on the resident layout, then the
             # exact spill repair for overflow rows + their neighborhoods.
             out = zanlungo_forces_bucketed(
-                bucket_cfg, z5, packed, interpret=interp
+                bucket_cfg, z5, packed, interpret=interp,
+                int_prio=int_prio,
             )  # [slots, 2]
             out, spill_vel = _patch_spills(
                 bucket_cfg, params_z, packed, spill, out, alive_s,
-                interpret=interp,
+                interpret=interp, int_prio=int_prio,
             )
             vel = jnp.where(alive_p[:, None], out, 0.0)
             vel_s = jnp.where(alive_s[:, None], spill_vel, 0.0)
