@@ -164,3 +164,24 @@ def test_persistent_spill_cap_overrun_is_counted():
     run = jax.jit(rollout, static_argnums=(4,))
     _, info = run(hl.init_params(), lp.init_params(), state, 0.05, 2)
     assert int(info["dropped"]) > 0
+
+
+def test_persistent_int_prio_matches_general_priorities():
+    """config.integer_priorities threads through the persistent engine's
+    force kernel AND its spill patch (core/persistent.py int_prio): on a
+    scene whose priorities are agent ids (the reference default,
+    zanlungo.rs:94-98), the specialized rollout must reproduce the
+    general-priority rollout exactly — the select-based right-of-way is
+    algebraically identical for integer priority gaps."""
+    import dataclasses as dc
+
+    cfg, hl, lp, state = scene()
+    outs = {}
+    for flag in (False, True):
+        c = dc.replace(cfg, integer_priorities=flag)
+        rollout = build_persistent_rollout(c, hl, lp)
+        run = jax.jit(rollout, static_argnums=(4,))
+        p, info = run(hl.init_params(), lp.init_params(), state, 0.1, 25)
+        assert int(info["dropped"]) == 0
+        outs[flag] = np.asarray(p.position)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
