@@ -286,7 +286,13 @@ def build_step(
                     state.uid, state.source_id, state.route_id,
                     state.route_wp, state.priority, small,
                 ),
-                num_keys=1, is_stable=True,
+                # Unstable: stability costs an internal iota tiebreak
+                # (measured perf/sort_stable_ab.py: 6.81 vs 5.84 ms per
+                # [1M] 14-payload sort).  Tie order among same-tile
+                # agents only shifts f32 force-sum order (physics parity
+                # is tolerance-tested either way, test_presort) and XLA
+                # sort stays deterministic for fixed input.
+                num_keys=1, is_stable=False,
             )
             (_, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
              prio, small) = res
