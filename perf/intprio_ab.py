@@ -12,7 +12,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from perf.step_parts import setup  # noqa: E402
 import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal  # noqa: E402
 from rmf_crowdsim_tpu.ops.zanlungo_pallas import bucketize, tile_key  # noqa: E402
-from perf.strip_ab import measure as _measure  # noqa: E402
 
 
 def main():
@@ -25,8 +24,6 @@ def main():
             v, carry["alive"][order], use_pack_kernel=True, presorted=True)
     )(carry["pos"][order], carry["vel"][order])
     print(f"occ={int(occ)} dropped={int(dropped)}", flush=True)
-
-    import time
 
     def measure(tag, int_prio):
         def body(cr, _):

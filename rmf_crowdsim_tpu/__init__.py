@@ -15,6 +15,7 @@ from .core.simulation import (
     AgentView,
     EventListener,
     NeighborTruncationError,
+    OutOfBoundsError,
     Simulation,
 )
 from .core.state import SimState, StepEvents, make_state
@@ -49,6 +50,7 @@ __all__ = [
     "MonotonicCrowd",
     "NeighborTruncationError",
     "NoLocalPlan",
+    "OutOfBoundsError",
     "ParityVelocity",
     "PoissonCrowd",
     "RMFPlanner",

@@ -154,6 +154,18 @@ class SimConfig:
     # (location_hash_2d.rs:15), so truncation is a silent physics
     # divergence that must not pass unnoticed.
     on_truncation: str = "raise"
+    # What the host session does when a step leaves an alive agent outside
+    # the grid (events.out_of_bounds).  "ignore" (default) matches this
+    # framework's event-mask semantics (core/step.py header); "raise"
+    # reproduces the reference's strict behavior, where an out-of-grid
+    # position errors the whole step (location_hash_2d.rs:61-63 →
+    # lib.rs:299-302) — use it for strict-parity runs.
+    on_out_of_bounds: str = "ignore"
+    # Minimum capacity at which get_nearest_neighbours uses the
+    # grid-bounded tiered ring search; below it the O(N) brute pass wins
+    # (dispatch overhead beats the ring ladder at small N).  Exact either
+    # way; this only picks the faster implementation.
+    knn_grid_threshold: int = 4096
     # Per-step event-record capacity of the scanned rollout's event stream
     # (Simulation.run with listeners registered): the max spawned /
     # destroyed / waypoint-reached agents recorded per step.  A step
@@ -192,4 +204,9 @@ class SimConfig:
             raise ValueError(
                 f"on_truncation must be 'raise' or 'ignore', "
                 f"got {self.on_truncation!r}"
+            )
+        if self.on_out_of_bounds not in ("raise", "ignore"):
+            raise ValueError(
+                f"on_out_of_bounds must be 'raise' or 'ignore', "
+                f"got {self.on_out_of_bounds!r}"
             )

@@ -26,6 +26,7 @@ reference (lib.rs)                     here
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -46,6 +47,15 @@ class NeighborTruncationError(RuntimeError):
     unbounded (location_hash_2d.rs:15), so truncation is a physics
     divergence.  Raise-by-default; set ``SimConfig.on_truncation="ignore"``
     to audit manually via ``events.neighbor_truncated``."""
+
+
+class OutOfBoundsError(RuntimeError):
+    """An alive agent integrated outside the configured grid while
+    ``SimConfig.on_out_of_bounds == "raise"`` — the strict-parity mode
+    mirroring the reference, which errors the whole step when the spatial
+    index rejects the new position (location_hash_2d.rs:61-63 →
+    lib.rs:299-302).  The default ("ignore") surfaces the same condition
+    as the ``events.out_of_bounds`` mask instead."""
 
 
 class EventListener:
@@ -231,14 +241,19 @@ class Simulation:
         priorities qualify); a fractional override would silently break
         that contract, so it raises here — set the flag False for
         fractional priority schemes."""
-        if getattr(self.config, "integer_priorities", False) and \
-                float(priority) != float(int(priority)):
-            raise ValueError(
-                f"priority {priority!r} is not an integer but "
-                "config.integer_priorities promises integer priority "
-                "differences (the int_prio kernel specialization); "
-                "set integer_priorities=False for fractional priorities"
-            )
+        if getattr(self.config, "integer_priorities", False):
+            p = float(priority)
+            # math.isfinite first: float(int(inf)) raises OverflowError
+            # and int(nan) ValueError with the wrong message — non-finite
+            # input must get this contract error, not a conversion error.
+            if not (math.isfinite(p) and p == int(p)):
+                raise ValueError(
+                    f"priority {priority!r} is not a finite integer but "
+                    "config.integer_priorities promises integer priority "
+                    "differences (the int_prio kernel specialization); "
+                    "set integer_priorities=False for fractional "
+                    "priorities"
+                )
         slot = self._slot_of(agent_id)
         self.state = self.state.replace(
             priority=self.state.priority.at[slot].set(priority)
@@ -374,6 +389,15 @@ class Simulation:
                     f"cell/tile); raise max_per_cell/bucket_capacity or "
                     f"set on_truncation='ignore'"
                 )
+        if self.config.on_out_of_bounds == "raise":
+            n_oob = int(jnp.sum(events.out_of_bounds.astype(jnp.int32)))
+            if n_oob > 0:
+                raise OutOfBoundsError(
+                    f"{n_oob} alive agents left the grid this step "
+                    f"(strict-parity mode: the reference errors the whole "
+                    f"step, lib.rs:299-302); enlarge the grid or set "
+                    f"on_out_of_bounds='ignore'"
+                )
 
     def run(self, n_steps: int, dt: float):
         """Run ``n_steps`` steps in ONE device dispatch (lax.scan) —
@@ -451,6 +475,14 @@ class Simulation:
                     f"during the rollout (peak occupancy "
                     f"{int(jnp.max(counters.max_cell_occupancy))} > "
                     f"{self.config.neighbor_capacity_limit} per cell/tile)"
+                )
+        if self.config.on_out_of_bounds == "raise":
+            total_oob = int(jnp.sum(counters.out_of_bounds))
+            if total_oob > 0:
+                raise OutOfBoundsError(
+                    f"{total_oob} agent-steps left the grid during the "
+                    f"rollout (strict-parity mode, lib.rs:299-302); "
+                    f"enlarge the grid or set on_out_of_bounds='ignore'"
                 )
         return counters
 
@@ -558,13 +590,16 @@ class Simulation:
         (spatial_index.rs:7-8).  Exact — unlike the reference's ring scan,
         which misses corner cells (location_hash_2d.rs:177-218).
 
-        With a grid configured, the query is spatially bounded like the
-        reference's: candidates come from an expanding cell window
+        With a grid configured and ``capacity >=
+        config.knn_grid_threshold``, the query is spatially bounded like
+        the reference's: candidates come from an expanding cell window
         (ops/neighbors.nearest_neighbors_grid) that grows until the k-th
         hit is provably inside it; the O(N) brute pass is the fallback
-        (and the small-N / no-grid default)."""
+        (and the small-N / no-grid default — at small N the single brute
+        dispatch beats the ring ladder; exact either way)."""
         point_j = jnp.asarray(point, self.config.jdtype)
-        if self.config.grid is not None and self.config.capacity >= 4096:
+        if (self.config.grid is not None
+                and self.config.capacity >= self.config.knn_grid_threshold):
             # One traced computation: binning reused across queries within
             # a step (rebuilt only when state changed), ring escalation as
             # a device-side lax.cond ladder — no per-query re-bin, no

@@ -289,9 +289,15 @@ def build_step(
                 # Unstable: stability costs an internal iota tiebreak
                 # (measured perf/sort_stable_ab.py: 6.81 vs 5.84 ms per
                 # [1M] 14-payload sort).  Tie order among same-tile
-                # agents only shifts f32 force-sum order (physics parity
-                # is tolerance-tested either way, test_presort) and XLA
-                # sort stays deterministic for fixed input.
+                # agents shifts (a) f32 force-sum order and (b) WHICH
+                # agents take a full bucket's slots vs overflow to the
+                # spill path.  (b) is exact while the spill repair covers
+                # the overflow (the default); if spill capacity itself
+                # overruns, which agents get truncated becomes
+                # tie-order-dependent — still counted and surfaced via
+                # neighbor_truncated, but run-shape-dependent.  Physics
+                # parity is tolerance-tested either way (test_presort)
+                # and XLA sort stays deterministic for fixed input.
                 num_keys=1, is_stable=False,
             )
             (_, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,

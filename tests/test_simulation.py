@@ -375,6 +375,36 @@ def test_out_of_bounds_event_flag():
     assert sim.num_agents == 1
 
 
+def test_out_of_bounds_raise_mode():
+    """Strict-parity mode: on_out_of_bounds='raise' errors the step like
+    the reference (Err("Index out of bounds"), location_hash_2d.rs:61-63
+    → lib.rs:299-302), for step() and run() alike."""
+    from rmf_crowdsim_tpu import OutOfBoundsError
+
+    hl = ConstantVelocity((1000.0, 0.0))
+
+    sim = make_sim(on_out_of_bounds="raise")
+    sim.add_agents([(400.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    with pytest.raises(OutOfBoundsError):
+        sim.step(1.0)
+
+    sim = make_sim(on_out_of_bounds="raise")
+    sim.add_agents([(400.0, 0.0)], hl, NoLocalPlan(), 5.0)
+    with pytest.raises(OutOfBoundsError):
+        sim.run(3, 1.0)
+
+    # In-bounds motion does not raise.
+    sim = make_sim(on_out_of_bounds="raise")
+    sim.add_agents([(0.0, 0.0)], ConstantVelocity((1.0, 0.0)),
+                   NoLocalPlan(), 5.0)
+    sim.step(1.0)
+    sim.run(3, 1.0)
+    assert sim.num_agents == 1
+
+    with pytest.raises(ValueError):
+        make_sim(on_out_of_bounds="explode")
+
+
 def test_colocated_sources_presnapshot_clearance():
     """Reference semantics (lib.rs:199-234): ALL sources' clearance checks
     run in a first read-only pass against the pre-spawn spatial index, so
