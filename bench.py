@@ -118,114 +118,6 @@ def build_bench(n_agents: int, dtype: str = "float32",
     return rollout, params, state
 
 
-def time_steps_persistent(n_agents: int, n_steps: int = 60, reps: int = 3):
-    """The same closed scene through the bucket-resident persistent
-    rollout (core/persistent.py): the packed layout is the live state,
-    re-binned only when some agent outruns the skin — the per-step
-    sort/gather/pack of the general path amortizes away.  Physics matches
-    the general step (tested, incl. bucket-overflow spills).  Returns
-    (steps_per_sec, p50_step_ms, n_rebins)."""
-    import dataclasses as _dc
-
-    from rmf_crowdsim_tpu.core.persistent import build_persistent_rollout
-
-    rollout, params, state = build_bench(n_agents, backend="grid_pallas")
-    # Rebuild the engine pieces build_bench used.
-    from rmf_crowdsim_tpu import ParityVelocity, Zanlungo
-
-    hl = ParityVelocity((1.0, 0.0))
-    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
-                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
-                  force_cap=20.0)
-    # Extra spill headroom: the persistent engine EVICTS skin-exceeders
-    # into the buffer between rebins.
-    cfg = _dc.replace(_bench_config(n_agents), spill_capacity=512)
-    prun = jax.jit(build_persistent_rollout(cfg, hl, lp),
-                   static_argnums=(4,))
-    st, info = prun(hl.init_params(), lp.init_params(), state,
-                    1.0 / 60.0, n_steps)
-    assert float(st.sim_time) > 0.0
-    dropped = int(np.asarray(info["dropped"]))
-    assert dropped == 0, (
-        f"persistent bench drops {dropped} agents (spill_capacity too "
-        f"small for this occupancy)"
-    )
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        st, info = prun(hl.init_params(), lp.init_params(), state,
-                        1.0 / 60.0, n_steps)
-        _ = float(st.sim_time)
-        best = min(best, time.perf_counter() - t0)
-    return (n_steps / best, (best / n_steps) * 1e3,
-            int(np.asarray(info["n_rebins"])))
-
-
-def time_gentle_scene(n_agents: int = 1_000_000, n_steps: int = 60):
-    """The scene the persistent engine was built for (VERDICT r3 item 6):
-    a closed walking-speed crowd (0.7 m/s streams, physical force caps)
-    where per-step displacement ~12 mm keeps eviction rates sustainable
-    and rebins rare.  Returns {"general": steps/s, "persistent": steps/s,
-    "n_rebins": int} for BENCH extras — the recorded head-to-head the
-    bucket-resident engine must win to earn its LoC."""
-    import dataclasses as _dc
-
-    from rmf_crowdsim_tpu import ParityVelocity, SimParams, Zanlungo, make_state
-    from rmf_crowdsim_tpu.core.persistent import build_persistent_rollout
-    from rmf_crowdsim_tpu.core.step import build_rollout
-
-    config = _bench_config(n_agents)
-    side = config.grid.width
-    hl = ParityVelocity((0.7, 0.0))
-    lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
-                  force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
-                  force_cap=2.0)
-    state = make_state(config)
-    rng = np.random.default_rng(0)
-    lim = side / 2 - 1.0
-    f = config.jdtype
-    state = state.replace(
-        position=jnp.asarray(rng.uniform(-lim, lim, (n_agents, 2)), f),
-        eyesight=jnp.full((n_agents,), 2.0, f),
-        alive=jnp.ones((n_agents,), jnp.bool_),
-        uid=jnp.arange(n_agents, dtype=jnp.int32),
-        hl_idx=jnp.zeros((n_agents,), jnp.int32),
-        lp_idx=jnp.zeros((n_agents,), jnp.int32),
-        priority=jnp.arange(n_agents, dtype=f),
-        next_uid=jnp.asarray(n_agents, jnp.int32),
-    )
-    params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
-                       sources=None)
-    out = {}
-    run = jax.jit(build_rollout(config, [hl], [lp]), static_argnums=(3,))
-    st, counters = run(params, state, 1.0 / 60.0, n_steps)
-    assert int(np.max(np.asarray(counters.neighbor_truncated))) == 0
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st, _c = run(params, state, 1.0 / 60.0, n_steps)
-        _ = float(st.sim_time)
-        best = min(best, time.perf_counter() - t0)
-    out["general"] = round(n_steps / best, 2)
-
-    cfg = _dc.replace(config, spill_capacity=512)
-    prun = jax.jit(build_persistent_rollout(cfg, hl, lp),
-                   static_argnums=(4,))
-    st, info = prun(hl.init_params(), lp.init_params(), state,
-                    1.0 / 60.0, n_steps)
-    assert int(np.asarray(info["dropped"])) == 0
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st, info = prun(hl.init_params(), lp.init_params(), state,
-                        1.0 / 60.0, n_steps)
-        _ = float(st.sim_time)
-        best = min(best, time.perf_counter() - t0)
-    out["persistent"] = round(n_steps / best, 2)
-    out["n_rebins"] = int(np.asarray(info["n_rebins"]))
-    return out
-
-
 def compiled_parity_check(n_agents: int = 4096, n_steps: int = 5):
     """On-device oracle-vs-fast-path gate (VERDICT r3 item 3): every
     kernel parity test runs interpret-mode on CPU, so a Mosaic lowering
@@ -538,34 +430,10 @@ def main():
                           "unit": "steps/s", "vs_baseline": 0.0,
                           "extra": extra}))
         return
-    extra["engine"] = "general"
-    # The bucket-resident persistent engine (same physics, tested) skips
-    # the per-step re-binning; take the better of the two as the
-    # headline and report both.
-    if extra.get("neighbor_backend") == "grid_pallas":
-        try:
-            psps, pp50, n_rebins = time_steps_persistent(
-                headline_n, n_steps=20
-            )
-            extra["steps_per_sec_general"] = round(sps, 2)
-            extra["n_rebins_per_20_steps"] = n_rebins
-            if psps > sps:
-                sps, p50 = psps, pp50
-                extra["engine"] = "persistent"
-        except Exception as e:
-            print(f"persistent engine failed: {e!r}", file=sys.stderr)
     extra["p50_step_ms"] = round(p50, 3)
     extra["agent_steps_per_sec"] = round(sps * headline_n)
 
     if not args.quick:
-        # The persistent engine's home turf (gentle closed crowd): the
-        # recorded head-to-head VERDICT r3 item 6 asks for.
-        if extra.get("neighbor_backend") == "grid_pallas" \
-                and headline_n >= 100_000:
-            try:
-                extra["gentle_1M"] = time_gentle_scene(headline_n)
-            except Exception as e:
-                extra["gentle_1M"] = f"failed: {e!r}"
         # Measured multi-chip evidence: the per-shard workload of the
         # D=10 world-sharded engine on the real chip (the D where the
         # measured ladder crosses the >100 steps/s line).

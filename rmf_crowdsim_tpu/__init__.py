@@ -10,7 +10,6 @@ jitted (and under lax.scan / shard_map for rollouts and multi-chip).
 """
 
 from .core.config import GridConfig, SimConfig
-from .core.persistent import build_persistent_rollout
 from .core.simulation import (
     AgentView,
     EventListener,
@@ -65,7 +64,6 @@ __all__ = [
     "WaypointFollow",
     "Zanlungo",
     "ZanlungoParams",
-    "build_persistent_rollout",
     "build_step",
     "make_state",
 ]

@@ -90,12 +90,6 @@ class ConstantVelocity(HighLevelPlanner):
             route_wp=state.route_wp,
         )
 
-    def plan_slots(self, params, packed):
-        """Slot-space variant for the persistent bucket-native rollout
-        (core/persistent.py): rec velocity per packed slot."""
-        v = params["vel"].astype(jnp.float32)
-        return jnp.broadcast_to(v[None, :], (packed.shape[0], 2))
-
 
 class ParityVelocity(HighLevelPlanner):
     """The viz demo's stub: even agent ids move at ``-vel``, odd at ``+vel``
@@ -118,16 +112,6 @@ class ParityVelocity(HighLevelPlanner):
             valid=jnp.ones((n,), jnp.bool_),
             route_wp=state.route_wp,
         )
-
-    def plan_slots(self, params, packed):
-        """Slot-space variant for the persistent rollout: parity from the
-        agent uid carried in packed row 14 (exact int-valued f32)."""
-        from ..core.persistent import ROW_UID
-
-        v = params["vel"].astype(jnp.float32)
-        uid = packed[:, ROW_UID]
-        sign = jnp.where(jnp.mod(uid, 2.0) == 0.0, -1.0, 1.0)
-        return sign[:, None] * v[None, :]
 
 
 class WaypointFollow(HighLevelPlanner):

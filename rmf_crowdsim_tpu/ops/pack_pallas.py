@@ -195,13 +195,14 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     # INCLUDING interleaved non-packable rows (bucket-overflow drops
     # carry the previous valid slot in the monotone envelope; dead/
     # sentinel rows sort last and pad the FINAL group's span — a
-    # persistent-engine rebin feeds ~45% dead rows), so spans are not
+    # mostly-dead capacity can feed ~45% dead rows), so spans are not
     # bounded by GROUP.  The kernel streams ceil(span/CHUNK) chunks
     # from r0, capped at MAX_CHUNKS.  The overflow audit counts only
     # IN-BUCKET rows beyond the streamed window — rows that actually
     # lost their slot (surface as pack drops; callers raise on
     # truncation).  Counting raw span overhang instead reported ~835k
-    # phantom drops per persistent rebin from the dead tail.
+    # phantom drops per 1M rebin from the dead tail (regression-tested
+    # in test_pack_kernel_dead_tail_not_counted_as_overflow).
     row_hi = jnp.concatenate(
         [row_lo[1:], jnp.asarray([n], jnp.int32)]
     )

@@ -239,11 +239,8 @@ def tile_key(cfg: BucketConfig, position, alive, col_clip=None):
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
               use_pack_kernel: bool = False, interpret: bool = False,
-              extra=None, presorted: bool = False, col_clip=None):
+              presorted: bool = False, col_clip=None):
     """Pack agent features into the bucketed layout.
-
-    ``extra``: optional [N] f32 carried in feature row 14 (used by the
-    persistent rollout to keep agent uids across slot-space rebins).
 
     ``presorted``: the caller guarantees agents are already ordered by
     :func:`tile_key` (the presorted step keeps state that way with one
@@ -322,8 +319,7 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
             self_pref[:, 0].astype(f32),
             self_pref[:, 1].astype(f32),
             jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
-            (extra.astype(f32) if extra is not None
-             else jnp.zeros((n,), f32)),  # row 14: caller payload
+            jnp.zeros((n,), f32),  # row 14: padding (16-row Mosaic tile)
             jnp.ones((n,), f32),   # row 15: 1.0 (pack-kernel hit counter)
         ],
         axis=-1,
@@ -1119,9 +1115,6 @@ def _spill_groups_xla(cfg: BucketConfig, zp, packed_t, sp: dict,
     through HBM — ~16 ms at the 1M bench's 64-spill tier and measured
     SLOWER than the Pallas path even at 10k-agent scale (186 vs 269
     steps/s, DESIGN_NOTES.md), so it is not a production path.
-
-    Shared by the agent-space patch above
-    and the slot-space persistent-rollout patch (core/persistent.py).
 
     ``sp``: dict of spill feature rows [S, ...] (pos, vel, prefc, spref,
     prio, eye, rec, id; f32) — ids must be unique against the packed

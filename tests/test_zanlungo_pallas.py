@@ -238,9 +238,9 @@ def test_pack_kernel_overflow_diagnostic():
 
 def test_pack_kernel_dead_tail_not_counted_as_overflow():
     """A large dead/dropped tail (bpos == slots) sorts last and sits
-    inside the FINAL group's row span — a persistent-engine rebin feeds
+    inside the FINAL group's row span — a mostly-dead capacity feeds
     ~45% dead rows this way.  The audit must not count it: the old
-    span-based audit reported ~835k phantom drops per 1M rebin."""
+    span-based audit reported ~835k phantom drops per 1M pack."""
     from rmf_crowdsim_tpu.ops.pack_pallas import pack_rows_pallas
     from rmf_crowdsim_tpu.ops.zanlungo_pallas import NUM_F
 
