@@ -61,7 +61,7 @@ def main():
     prio, eye, alive = (carry["prio"][order], carry["eye"][order],
                         carry["alive"][order])
 
-    packed_t, bpos, occ, dropped = jax.jit(
+    packed_t, _pT, bpos, occ, dropped = jax.jit(
         lambda p: bucketize(bcfg, p, vel, vel, vel, prio, eye, vel, alive,
                             use_pack_kernel=True, presorted=True)
     )(pos)

@@ -59,7 +59,7 @@ def main():
     cfg, bcfg, carry, zp, zp4 = setup()
     key = tile_key(bcfg, carry["pos"], carry["alive"])
     order = jnp.argsort(key, stable=True)
-    packed_t, bpos, occ, dropped = jax.jit(
+    packed_t, _pT, bpos, occ, dropped = jax.jit(
         lambda p, v: bucketize(
             bcfg, p, v, v, v, carry["prio"][order], carry["eye"][order],
             v, carry["alive"][order], use_pack_kernel=True, presorted=True)

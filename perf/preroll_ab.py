@@ -1,10 +1,8 @@
-"""A/B the 8-row candidate strip (NUM_CAND) kernel vs the committed
-16-row version, standalone scan-amortized at 1M (ledger baseline ~49 ms).
-
-Run `git show HEAD:rmf_crowdsim_tpu/ops/zanlungo_pallas.py >
-/tmp/zp_head.py` first to snapshot the committed kernel.
+"""A/B the pre-rolled-strip-copies kernel (round 4) vs the per-sub-block
+dynamic-roll kernel (round 3, snapshotted as ops/zp_old_ab.py via
+`git show HEAD:...`), standalone scan-amortized, int_prio like the
+production 1M bench.
 """
-import importlib.util
 import sys
 import time
 
@@ -17,20 +15,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from perf.step_parts import setup  # noqa: E402
 import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal  # noqa: E402
+from rmf_crowdsim_tpu.ops.zanlungo_pallas import bucketize, tile_key  # noqa: E402
 
 
-def load_mod(path, name):
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def measure(tag, forces_fn, packed_t, bcfg, zp4):
+def measure(tag, fn, packed_t, bcfg, zp4):
     def body(cr, _):
         p = cr["p"] * 1.0000001
-        o = forces_fn(bcfg, zp4, p)
+        o = fn(bcfg, zp4, p, int_prio=True)
         return {"p": p + o[0, 0] * 1e-30}, None
 
     def timed(k):
@@ -55,26 +46,34 @@ def measure(tag, forces_fn, packed_t, bcfg, zp4):
 
 def main():
     cfg, bcfg, carry, zp, zp4 = setup()
-    key = zpal.tile_key(bcfg, carry["pos"], carry["alive"])
+    key = tile_key(bcfg, carry["pos"], carry["alive"])
     order = jnp.argsort(key, stable=True)
     packed_t, _pT, bpos, occ, dropped = jax.jit(
-        lambda p, v: zpal.bucketize(
+        lambda p, v: bucketize(
             bcfg, p, v, v, v, carry["prio"][order], carry["eye"][order],
             v, carry["alive"][order], use_pack_kernel=True, presorted=True)
     )(carry["pos"][order], carry["vel"][order])
     print(f"occ={int(occ)} dropped={int(dropped)}", flush=True)
 
-    measure("cand8", zpal.zanlungo_forces_bucketed, packed_t, bcfg, zp4)
-    old = load_mod("/tmp/zp_head.py", "zp_head")
-    old_bcfg = old.BucketConfig(**vars(bcfg))
-    # The committed layout has ROW_EYE/ROW_ID swapped vs the new one:
-    # permute the packed columns so each kernel sees its own layout.
-    perm = list(range(zpal.NUM_F))
-    perm[old.ROW_ID], perm[old.ROW_EYE] = zpal.ROW_ID, zpal.ROW_EYE
-    packed_old = packed_t[:, jnp.asarray(perm)]
-    measure("head16",
-            lambda b, z, p: old.zanlungo_forces_bucketed(old_bcfg, z, p),
-            packed_old, bcfg, zp4)
+    # Output parity on the real chip first (compiled, not interpret).
+    new = jax.jit(lambda p: zpal.zanlungo_forces_bucketed(
+        bcfg, zp4, p, int_prio=True))(packed_t)
+    from rmf_crowdsim_tpu.ops import zp_old_ab as old
+    obcfg = old.BucketConfig(**vars(bcfg))
+    oldv = jax.jit(lambda p: old.zanlungo_forces_bucketed(
+        obcfg, zp4, p, int_prio=True))(packed_t)
+    import numpy as np
+    diff = float(jnp.max(jnp.abs(new - oldv)))
+    nf = np.asarray(jnp.isfinite(new)).all()
+    print(f"compiled parity: max|new-old|={diff:.3e} finite={nf}",
+          flush=True)
+
+    measure("preroll", zpal.zanlungo_forces_bucketed, packed_t, bcfg, zp4)
+    measure(
+        "dynroll",
+        lambda b, z, p, **kw: old.zanlungo_forces_bucketed(obcfg, z, p, **kw),
+        packed_t, bcfg, zp4,
+    )
 
 
 if __name__ == "__main__":

@@ -101,17 +101,19 @@ def make_body(stage: str, cfg, bcfg, zp, zp4):
             out = c["pos"][0, 0]
         elif stage == "bucketize":
             c = presort(c)
-            packed_t, bucket_pos, max_occ, dropped = buck(c)
-            out = packed_t[0, 0]
+            packed_t, packed_T, bucket_pos, max_occ, dropped = buck(c)
+            out = packed_t[0, 0] + packed_T[0, 0]
         elif stage == "kernel":
             c = presort(c)
-            packed_t, bucket_pos, max_occ, dropped = buck(c)
-            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
+            packed_t, packed_T, bucket_pos, max_occ, dropped = buck(c)
+            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t,
+                                         packed_T=packed_T)
             out = o[0, 0]
         elif stage == "unbucket":
             c = presort(c)
-            packed_t, bucket_pos, max_occ, dropped = buck(c)
-            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
+            packed_t, packed_T, bucket_pos, max_occ, dropped = buck(c)
+            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t,
+                                         packed_T=packed_T)
             ok = (bucket_pos < bcfg.slots) & c["alive"]
             v = jnp.where(ok[:, None],
                           o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)],
@@ -121,8 +123,9 @@ def make_body(stage: str, cfg, bcfg, zp, zp4):
             c["vel"] = v * 0.999 + c["vel"] * 0.001
         elif stage == "spill":
             c = presort(c)
-            packed_t, bucket_pos, max_occ, dropped = buck(c)
-            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t)
+            packed_t, packed_T, bucket_pos, max_occ, dropped = buck(c)
+            o = zanlungo_forces_bucketed(bcfg, zp4, packed_t,
+                                         packed_T=packed_T)
             ok = (bucket_pos < bcfg.slots) & c["alive"]
             v = jnp.where(ok[:, None],
                           o[jnp.clip(bucket_pos, 0, bcfg.slots - 1)],
@@ -130,7 +133,7 @@ def make_body(stage: str, cfg, bcfg, zp, zp4):
             v, unresolved = spill_patch(
                 bcfg, zp, c["pos"], c["vel"], c["pref"], c["pref"],
                 c["prio"], c["eye"], c["alive"], c["vel"], packed_t,
-                bucket_pos, v, spill_cap,
+                bucket_pos, v, spill_cap, packed_T=packed_T,
             )
             out = v[0, 0]
             c = dict(c)

@@ -53,7 +53,7 @@ def main():
           f"programs={bcfg.tx * (bcfg.ty // bcfg.strip_tiles)}", flush=True)
     key = tile_key(bcfg, carry["pos"], carry["alive"])
     order = jnp.argsort(key, stable=True)
-    packed_t, bpos, occ, dropped = jax.jit(
+    packed_t, _pT, bpos, occ, dropped = jax.jit(
         lambda p, v: bucketize(
             bcfg, p, v, v, v, carry["prio"][order], carry["eye"][order],
             v, carry["alive"][order], use_pack_kernel=True, presorted=True)

@@ -95,13 +95,35 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     n_requested = jnp.where(sp.active, n_requested, 0)
 
     # Clearance gate against pre-spawn state: any alive agent strictly
-    # within spawn_clearance of the source blocks the spawn.
-    diff = state.position[None, :, :] - sp.source[:, None, :]  # [S, N, 2]
-    dist = jnp.linalg.norm(diff, axis=-1)
-    blocked = jnp.any(
-        state.alive[None, :] & (dist < jnp.asarray(config.spawn_clearance, f)),
-        axis=1,
-    )
+    # within spawn_clearance of the source blocks the spawn.  Evaluated
+    # as a dense elementwise pass, CHUNKED over sources so peak memory
+    # stays [<=64, N] however many sources the scene has.  A grid-binned
+    # per-source lookup is NOT the right TPU design at this N: any
+    # per-agent table lookup pays the measured ~10 ns/row gather floor
+    # (~10 ms at 1M — DESIGN_NOTES "Hard-won XLA cost model"), while the
+    # brute pass is pure elementwise VPU work (~6 ops/pair at ~2.8 T/s
+    # plus one [N,2] re-read per chunk): ~4 ms at S=1024 x N=1M and
+    # microseconds at the reference-scale scenes.  Decisions are
+    # bitwise-identical chunked or not (same per-pair arithmetic; `any`
+    # is order-free over booleans).
+    clear = jnp.asarray(config.spawn_clearance, f)
+
+    def _blocked_chunk(srcs):  # [c, 2] -> [c]
+        diff = state.position[None, :, :] - srcs[:, None, :]  # [c, N, 2]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        return jnp.any(state.alive[None, :] & (dist < clear), axis=1)
+
+    CH = 64
+    if s <= CH:
+        blocked = _blocked_chunk(sp.source)
+    else:
+        pad = (-s) % CH
+        src_pad = jnp.concatenate(
+            [sp.source, jnp.full((pad, 2), jnp.asarray(1e30, f))], axis=0
+        )
+        blocked = jax.lax.map(
+            _blocked_chunk, src_pad.reshape(-1, CH, 2)
+        ).reshape(-1)[:s]
     want = (n_requested > 0) & ~blocked
 
     # Slot allocation: k-th spawning source takes the k-th free slot.

@@ -35,7 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .zanlungo_pallas import NUM_F, ROW_ID, ROW_PX, ROW_PY, _POS_SENTINEL
+from .zanlungo_pallas import (
+    NUM_CAND, NUM_F, ROW_ID, ROW_PX, ROW_PY, _POS_SENTINEL,
+)
 
 # Sentinel row as a host constant: .at[].set inside a kernel lowers to a
 # scatter primitive, which Mosaic does not implement.
@@ -70,8 +72,8 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
                  chunk_sz: int = CHUNK, max_chunks: int = MAX_CHUNKS):
     GROUP, CHUNK, MAX_CHUNKS = group, chunk_sz, max_chunks
 
-    def kernel(r0_ref, nc_ref, feat_t_any, sent_ref, out_ref, chunks,
-               region, sem):
+    def kernel(r0_ref, nc_ref, feat_t_any, sent_ref, out_ref, out_t_ref,
+               chunks, region, region_t, filled_t, sem):
         # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
         # DMA lane offsets/extents to be 128-aligned, so row chunks are
         # read lane-major at 128-aligned starts (r0 is align128'd).
@@ -93,6 +95,8 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
             chunk_dma(0, 0).start()
 
         region[...] = jnp.zeros((GROUP, NUM_F), jnp.float32)
+        region_t[...] = jnp.zeros((NUM_CAND, GROUP), jnp.float32)
+        filled_t[...] = jnp.zeros((1, GROUP), jnp.float32)
         base = (g * GROUP).astype(jnp.float32)
 
         def body(c, _):
@@ -150,6 +154,34 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
                     (dot_d(hi) + dot_d(mid)) + dot_d(lo)
                 )
 
+                # Transposed candidate plane [NUM_CAND, GROUP] — the
+                # force kernel's strip-DMA source orientation.  Emitting
+                # it here (3 extra small-M DEFAULT passes, bitwise by the
+                # same bf16-split argument) replaces a per-step XLA
+                # [slots, 16] -> [8, slots] transpose measured at ~9 ms
+                # at 1M — the single biggest hidden cost of the round-3
+                # step (perf/kvar2.py stages 102 vs 105).
+                def dot_t(b):
+                    return jax.lax.dot_general(
+                        b[:NUM_CAND], onehot,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                region_t[...] = region_t[...] + (
+                    (dot_t(hi) + dot_t(mid)) + dot_t(lo)
+                )
+                # Lane-major hit counter [1, GROUP] (ROW_ONE is 1.0 on
+                # real rows, 0 on padding; 0/1 x 0/1 is exact in ONE
+                # DEFAULT pass).
+                filled_t[...] = filled_t[...] + jax.lax.dot_general(
+                    rows_t[ROW_ONE:ROW_ONE + 1, :], onehot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
             return 0
 
         # Dynamic trip count: groups stream only the chunks their row
@@ -158,25 +190,43 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
 
         filled = region[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
         out_ref[...] = region[...] + (1.0 - filled) * sent_ref[...]
+        # Sentinel as a sublane column (iota-built — slicing the
+        # lane-major sent_ref row here would be a cross-axis relayout).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_CAND, 1), 0)
+        sent_col = jnp.where(
+            (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
+            jnp.where(ri == ROW_ID, -1.0, 0.0),
+        )
+        out_t_ref[...] = region_t[...] + (
+            (1.0 - filled_t[...]) * sent_col
+        )
 
     return kernel
 
 
-def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
+def pack_rows_pallas(feat_t, bpos_sorted, slots: int,
                      interpret: bool = False, group: int = None,
                      chunk: int = None, max_chunks: int = None):
-    """Pack sorted feature rows into the bucketed [slots, NUM_F] layout.
+    """Pack sorted feature rows into the bucketed layout.
 
-    feat_sorted: [N, NUM_F] f32 with ROW_BPOS/ROW_ONE columns already set;
-    bpos_sorted: [N] int32 (== slots for dropped/dead rows).  slots must
-    be a multiple of GROUP.  Returns (packed_t [slots, NUM_F], overflow
-    [] int32 — rows whose group row-window overflowed MAX_CHUNKS*CHUNK;
-    nonzero means increase MAX_CHUNKS or bucket sizing is degenerate).
+    feat_t: [NUM_F, N] f32 — TRANSPOSED feature rows (the kernel streams
+    them lane-major; callers building features from [N] columns stack on
+    axis 0 directly, so no [N, NUM_F] transpose ever materializes) with
+    ROW_BPOS/ROW_ONE rows already set; bpos_sorted: [N] int32 (== slots
+    for dropped/dead rows).  slots must be a multiple of GROUP.
+
+    Returns (packed_t [slots, NUM_F], packed_T [NUM_CAND, slots] — the
+    candidate plane in the force kernel's strip-DMA orientation, emitted
+    by the same one-hot matmuls (an XLA transpose of the packed plane
+    costs ~9 ms at 1M), overflow [] int32 — rows whose group row-window
+    overflowed MAX_CHUNKS*CHUNK; nonzero means increase MAX_CHUNKS or
+    bucket sizing is degenerate).
     """
     GROUP = group or globals()["GROUP"]
     CHUNK = chunk or globals()["CHUNK"]
     MAX_CHUNKS = max_chunks or globals()["MAX_CHUNKS"]
-    n = feat_sorted.shape[0]
+    assert feat_t.shape[0] == NUM_F
+    n = feat_t.shape[1]
     assert slots < (1 << 24), "slot ids must be exact in f32"
     slots_pad = ((slots + GROUP - 1) // GROUP) * GROUP
     n_groups = slots_pad // GROUP
@@ -221,9 +271,9 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
     # ROW_BPOS is `slots`, outside every group).
     n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
     pad = n_pad - n
-    pad_rows = jnp.zeros((pad, NUM_F), jnp.float32)
-    pad_rows = pad_rows.at[:, ROW_BPOS].set(float(slots))
-    feat_t_pad = jnp.concatenate([feat_sorted, pad_rows], axis=0).T
+    pad_rows_t = jnp.zeros((NUM_F, pad), jnp.float32)
+    pad_rows_t = pad_rows_t.at[ROW_BPOS, :].set(float(slots))
+    feat_t_pad = jnp.concatenate([feat_t, pad_rows_t], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -233,19 +283,31 @@ def pack_rows_pallas(feat_sorted, bpos_sorted, slots: int,
             pl.BlockSpec((1, NUM_F), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (GROUP, NUM_F), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (GROUP, NUM_F), lambda g, *_: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NUM_CAND, GROUP), lambda g, *_: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NUM_F, CHUNK), jnp.float32),
             pltpu.VMEM((GROUP, NUM_F), jnp.float32),
+            pltpu.VMEM((NUM_CAND, GROUP), jnp.float32),
+            pltpu.VMEM((1, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    packed = pl.pallas_call(
+    packed, packed_T = pl.pallas_call(
         _make_kernel(n_pad, slots, GROUP, CHUNK, MAX_CHUNKS),
-        out_shape=jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((slots_pad, NUM_F), jnp.float32),
+            jax.ShapeDtypeStruct((NUM_CAND, slots_pad), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(r0, n_chunks, feat_t_pad, jnp.asarray(_SENT_NP))
-    return packed[:slots], overflow
+    return packed[:slots], packed_T[:, :slots], overflow

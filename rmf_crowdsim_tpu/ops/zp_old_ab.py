@@ -250,12 +250,9 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     gather AND the inverse scatter are then all skipped: ``bucket_pos``
     comes back in (sorted) agent order directly and is monotone.
 
-    Returns (packed_t [slots, NUM_F] f32, packed_T [NUM_CAND, slots] f32
-    — the candidate plane in the force kernel's strip-DMA orientation
-    (emitted directly by the pack kernel; materializing it as an XLA
-    transpose of packed_t costs ~9 ms at 1M), bucket_pos [N] int32 (==
-    slots for dropped/dead agents), max_tile_occupancy [] int32, dropped
-    [] int32 — alive agents not packed: bucket overflow (tile occupancy >
+    Returns (packed_t [slots, NUM_F] f32, bucket_pos [N] int32 (== slots
+    for dropped/dead agents), max_tile_occupancy [] int32, dropped []
+    int32 — alive agents not packed: bucket overflow (tile occupancy >
     ``cfg.bucket``) plus, on the pack-kernel path, rows whose slot-group
     window exceeded the kernel's streaming capacity.  Dropped agents keep
     their recommended velocity and vanish as force candidates — silent
@@ -302,59 +299,52 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         jnp.int32(cfg.slots),
     )
 
-    # Feature columns in agent order ([N] each).  The pack-kernel path
-    # stacks them TRANSPOSED ([NUM_F, N], axis-0 stack of 1-D rows — no
-    # cross-axis relayout, unlike a [N, NUM_F].T which costs ~9 ms at
-    # 1M); the XLA-scatter fallback stacks row-major for its row scatter.
+    # Row-major [N, NUM_F] feature assembly: row gathers/scatters are
+    # contiguous on TPU (the column-wise [NUM_F, N] variant was 10x
+    # slower); the kernel wrapper takes both packed_t and its transpose.
     f32 = jnp.float32
-    cols = [
-        position[:, 0].astype(f32),
-        position[:, 1].astype(f32),
-        velocity[:, 0].astype(f32),
-        velocity[:, 1].astype(f32),
-        pref_committed[:, 0].astype(f32),
-        pref_committed[:, 1].astype(f32),
-        priority.astype(f32),
-        jnp.arange(n, dtype=f32),
-        rec_vel[:, 0].astype(f32),
-        rec_vel[:, 1].astype(f32),
-        eyesight.astype(f32),
-        self_pref[:, 0].astype(f32),
-        self_pref[:, 1].astype(f32),
-        jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
-        jnp.zeros((n,), f32),  # row 14: padding (16-row Mosaic tile)
-        jnp.ones((n,), f32),   # row 15: 1.0 (pack-kernel hit counter)
-    ]
+    feat = jnp.stack(
+        [
+            position[:, 0].astype(f32),
+            position[:, 1].astype(f32),
+            velocity[:, 0].astype(f32),
+            velocity[:, 1].astype(f32),
+            pref_committed[:, 0].astype(f32),
+            pref_committed[:, 1].astype(f32),
+            priority.astype(f32),
+            jnp.arange(n, dtype=f32),
+            rec_vel[:, 0].astype(f32),
+            rec_vel[:, 1].astype(f32),
+            eyesight.astype(f32),
+            self_pref[:, 0].astype(f32),
+            self_pref[:, 1].astype(f32),
+            jnp.zeros((n,), f32),  # row 13: bucket slot (set post-sort)
+            jnp.zeros((n,), f32),  # row 14: padding (16-row Mosaic tile)
+            jnp.ones((n,), f32),   # row 15: 1.0 (pack-kernel hit counter)
+        ],
+        axis=-1,
+    )  # [N, NUM_F]
+    feat_sorted = feat if presorted else feat[order]  # row gather
 
     if use_pack_kernel:
         # MXU one-hot pack kernel (ops/pack_pallas.py): replaces the XLA
         # row scatter, whose ~137 ns/row overhead dominates bucketize.
         from .pack_pallas import ROW_BPOS, pack_rows_pallas
 
-        if presorted:
-            cols[ROW_BPOS] = bpos_sorted.astype(f32)
-            feat_t = jnp.stack(cols, axis=0)  # [NUM_F, N], no transpose
-        else:
-            # Row gathers need row-major data; gather, set the slot
-            # column IN SORTED ORDER, then transpose (non-production
-            # path — production presorts, see step.py).
-            feat = jnp.stack(cols, axis=-1)[order]
-            feat = feat.at[:, ROW_BPOS].set(bpos_sorted.astype(f32))
-            feat_t = feat.T
-        packed_t, packed_T, pack_overflow = pack_rows_pallas(
-            feat_t, bpos_sorted, cfg.slots, interpret=interpret
+        feat_sorted = feat_sorted.at[:, ROW_BPOS].set(
+            bpos_sorted.astype(f32)
+        )
+        packed_t, pack_overflow = pack_rows_pallas(
+            feat_sorted, bpos_sorted, cfg.slots, interpret=interpret
         )
     else:
         pack_overflow = jnp.zeros((), jnp.int32)
-        feat = jnp.stack(cols, axis=-1)  # [N, NUM_F]
-        feat_sorted = feat if presorted else feat[order]  # row gather
         sentinel = jnp.zeros((1, NUM_F), f32)
         sentinel = sentinel.at[0, ROW_PX].set(_POS_SENTINEL)
         sentinel = sentinel.at[0, ROW_PY].set(_POS_SENTINEL)
         sentinel = sentinel.at[0, ROW_ID].set(-1.0)
         packed_t = jnp.broadcast_to(sentinel, (cfg.slots, NUM_F))
         packed_t = packed_t.at[bpos_sorted].set(feat_sorted, mode="drop")
-        packed_T = packed_t[:, :NUM_CAND].T
 
     if presorted:
         bucket_pos = bpos_sorted  # agent order == sorted order; monotone
@@ -369,7 +359,7 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         jnp.sum(((sorted_tid < t_sent) & ~in_bucket).astype(jnp.int32))
         + pack_overflow
     ).astype(jnp.int32)
-    return packed_t, packed_T, bucket_pos, max_occ, dropped
+    return packed_t, bucket_pos, max_occ, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -580,31 +570,6 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
             jnp.where(mask, uy * scale, 0.0))
 
 
-def _strip_shifts(cfg: BucketConfig) -> Tuple[int, ...]:
-    """Trace-time enumeration of every window misalignment (``shift =
-    (halo_start - strip_base) mod 128``) the kernel can encounter, over
-    all (program, sub-block) pairs — both ranges are static.  Small by
-    construction: interior sub-blocks cycle through ``128 /
-    gcd(sub_q, 128)`` phases and the world-edge clamps add at most a
-    couple more (0 at the bottom, one clipped value at the top)."""
-    strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
-    C = 128
-    col_slots = cfg.ty * B
-    W_EXT = min((((strip + 2) * B + 127) // 128) * 128 + 128, col_slots)
-    n_strips = cfg.ty // strip
-    shifts = set()
-    for ps in range(n_strips):
-        py0 = ps * strip
-        base = min(max(((py0 * B - B) // 128) * 128, 0),
-                   col_slots - W_EXT)
-        for s in range(strip // qb):
-            g = min(max((py0 + s * qb - 1) * B, 0), col_slots - C)
-            off = g - base
-            assert 0 <= off <= W_EXT - C, (off, W_EXT)
-            shifts.add(off % 128)
-    return tuple(sorted(shifts))
-
-
 def _make_kernel(cfg: BucketConfig,
                  compact_pass2: bool = True,
                  int_prio: bool = False):
@@ -621,24 +586,9 @@ def _make_kernel(cfg: BucketConfig,
     # Strip-resident segment: tiles [py0 - 1, py0 + strip + 1) plus
     # alignment slack, clamped to the column.
     W_EXT = min((((strip + 2) * B + 127) // 128) * 128 + 128, col_slots_s)
-    # Possible window misalignments (static set, usually 2-4 values):
-    # each program pre-rolls one strip copy per phase so sub-blocks read
-    # their 128-lane halo at a 128-ALIGNED offset of the right copy —
-    # no per-sub-block pltpu.roll (a dynamic roll is a multi-stage
-    # lane-shift network, ~86k instances/step at 1M) and half the slice
-    # width of the old aligned-256-read-then-roll scheme.
-    PHASES = _strip_shifts(cfg)
+    R = min(2 * C, W_EXT)  # per-sub-block aligned read width
 
-    # Pre-rolled copy table: one slot per phase, plus a DMA landing slot
-    # when no phase is 0 (phase-0's copy IS the raw strip).
-    if 0 in PHASES:
-        N_COPIES = len(PHASES)
-        LAND = PHASES.index(0)
-    else:
-        N_COPIES = len(PHASES) + 1
-        LAND = len(PHASES)
-
-    def kernel(zp_ref, packed_any, qt_ref, out_ref, strips_r, sem):
+    def kernel(zp_ref, packed_any, qt_ref, out_ref, strip_vmem, sem):
         # Alignment strategy (Mosaic tiles every memref (8, 128), even in
         # HBM, and requires 128-aligned lane offsets AND extents):
         #   - candidate windows are lane-dim DMA slices of the packed
@@ -652,13 +602,9 @@ def _make_kernel(cfg: BucketConfig,
         #   - queries/outputs ride the SUBLANE dim of transposed arrays
         #     ([slots, NUM_F] / [slots, 2]) where bucket-granular offsets
         #     (multiples of 8) are legal.
-        # strips_r: [3, N_COPIES, NUM_CAND, W_EXT] strip-resident column
-        # segments — only the 8 candidate feature rows (one Mosaic
-        # sublane tile); query-side rows never ride the candidate
-        # strips.  Copy LAND is the raw DMA landing; the other slots
-        # hold the segment pre-rolled left by each phase in PHASES, so a
-        # sub-block with misalignment ``shift`` reads its true 128-lane
-        # halo as ONE 128-aligned slice of the matching copy.
+        # strip_vmem: [3, NUM_CAND, W_EXT] strip-resident column segments
+        # — only the 8 candidate feature rows (one Mosaic sublane tile);
+        # query-side rows never ride the candidate strips.
         px = pl.program_id(0)
         ps = pl.program_id(1)
         py0 = ps * strip
@@ -686,7 +632,7 @@ def _make_kernel(cfg: BucketConfig,
             abs_base = pl.multiple_of(c * col_slots + base_l, 128)
             return pltpu.make_async_copy(
                 packed_any.at[:, pl.ds(abs_base, W_EXT)],
-                strips_r.at[k, LAND],
+                strip_vmem.at[k],
                 sem.at[k],
             )
 
@@ -694,19 +640,6 @@ def _make_kernel(cfg: BucketConfig,
             strip_dma(k).start()
         for k in range(3):
             strip_dma(k).wait()
-
-        # Pre-roll once per program: STATIC-shift rolls (plain shifted
-        # copies, no dynamic lane-shift network).  ``roll(x, W_EXT - v)``
-        # puts source lane ``i + v`` at lane ``i``; sub-blocks never read
-        # past ``W_EXT - v`` lanes (asserted in _strip_shifts), so the
-        # wrapped tail is never consumed.
-        for k in range(3):
-            for p, v in enumerate(PHASES):
-                if p == LAND or v == 0:
-                    continue
-                strips_r[k, p] = pltpu.roll(
-                    strips_r[k, LAND], W_EXT - v, axis=1
-                )
 
         def win_true_start_l(s):
             # Column-local unaligned halo start: tiles [py0 + s*qb - 1,
@@ -728,25 +661,28 @@ def _make_kernel(cfg: BucketConfig,
             tri = (ci < rj).astype(jnp.float32)
 
         def sub_block(s, _):
-            # Slice each sub-block's halo window from the pre-rolled
-            # strip copy matching its misalignment: one 128-aligned
-            # 128-lane read, lanes [0, C) = exactly the true halo.
+            # Slice each sub-block's halo window from the strip-resident
+            # VMEM segments (128-aligned read + roll by the misalignment)
+            # so lanes [0, C) hold exactly the true halo.
             g_l = win_true_start_l(s)
-            off = g_l - base_l                     # bucket-granular, >= 0
-            off_al = pl.multiple_of((off // 128) * 128, 128)
-            shift = off - off_al                   # in PHASES (static set)
-            if len(PHASES) == 1:
-                pidx = jnp.int32(PHASES.index(PHASES[0]))
-            else:
-                pidx = jnp.int32(0)
-                for p, v in enumerate(PHASES[1:]):
-                    pidx = pidx + (
-                        shift >= jnp.int32(v)
-                    ).astype(jnp.int32)
+            off = g_l - base_l                     # 32-granular, >= 0
+            off_al = pl.multiple_of(
+                jnp.clip((off // 128) * 128, 0, W_EXT - R), 128
+            )
+            shift = off - off_al                   # in [0, R - C]
             g_cls = []
             rolled = []
             for k in range(3):
-                w = strips_r[k, pidx, :, pl.ds(off_al, C)]
+                w = strip_vmem[k, :, pl.ds(off_al, R)]
+                if R > C:
+                    w = pltpu.roll(
+                        w,
+                        jax.lax.rem(
+                            jnp.int32(R) - shift.astype(jnp.int32),
+                            jnp.int32(R),
+                        ),
+                        axis=1,
+                    )
                 # Absolute slot of lane 0 (for the column mask).
                 g_cls.append(
                     jnp.clip(px + (k - 1), 0, tx - 1) * col_slots + g_l
@@ -961,28 +897,21 @@ def _make_kernel(cfg: BucketConfig,
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
 
-    return kernel, q_len, W_EXT, N_COPIES
+    return kernel, q_len, W_EXT
 
 
 def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
                              compact_pass2: bool = True,
-                             int_prio: bool = False,
-                             packed_T=None):
+                             int_prio: bool = False):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
-    agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.
-    packed_T: optional [NUM_CAND, slots] candidate plane (bucketize's
-    second return) — pass it to skip the in-graph transpose fallback,
-    which costs ~9 ms at 1M.  Returns [slots, 2] f32 velocities
-    (rec + force/mass) per bucket slot.
+    agent_radius, force_cap); packed_t: [slots, NUM_F] from bucketize.  Returns
+    [slots, 2] f32 velocities (rec + force/mass) per bucket slot.
     """
-    if packed_T is None:
-        packed_T = packed_t[:, :NUM_CAND].T
-    kernel, q_len, w_ext, n_copies = _make_kernel(
-        cfg, compact_pass2=compact_pass2, int_prio=int_prio
-    )
+    kernel, q_len, w_ext = _make_kernel(cfg, compact_pass2=compact_pass2,
+                                        int_prio=int_prio)
     n_strips = cfg.ty // cfg.strip_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1004,7 +933,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, n_copies, NUM_CAND, w_ext), jnp.float32),
+            pltpu.VMEM((3, NUM_CAND, w_ext), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -1015,15 +944,14 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32), packed_T, packed_t)
+    )(zparams4.astype(jnp.float32), packed_t[:, :NUM_CAND].T, packed_t)
 
 
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 pref_committed, priority, eyesight, alive, rec_vel,
                 packed_t, bucket_pos, vel,
                 spill_capacity: int, chunk: int = 16,
-                interpret: bool = False, int_prio: bool = False,
-                packed_T=None):
+                interpret: bool = False, int_prio: bool = False):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
@@ -1106,7 +1034,6 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 {k_: v_[:cap] for k_, v_ in sp.items()},
                 sp_tcx[:cap], sp_tcy[:cap], spill_valid[:cap], chunk,
                 interpret=interpret, int_prio=int_prio,
-                packed_T=packed_T,
             )
             # Overwrite AFFECTED rows only: a window query's force sum
             # changed iff some spill sits strictly within its eyesight
@@ -1439,7 +1366,7 @@ def _make_spill_kernel(cfg: BucketConfig, cap: int, cap_pad: int,
 
 def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
                                 sp_tcx, sp_tcy, interpret: bool,
-                                int_prio: bool = False, packed_T=None):
+                                int_prio: bool = False):
     """Pallas path for the WINDOW-query part of :func:`_spill_groups`:
     out_win [S, 9b, 2] velocities for the spill's 3x3-tile queries (rows
     for empty/invalid slots are garbage — callers mask by q_id).  sp_t:
@@ -1494,22 +1421,18 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
         ],
     )
     zp8 = jnp.zeros((1, 8), jnp.float32).at[0, :5].set(zp5)
-    out_call = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cap * q_len, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )
-    if packed_T is None:
-        packed_T = packed_t[:, :NUM_CAND].T
-    out = out_call(meta, packed_T, *([packed_t] * 9), sp_t, zp8)
+    )(meta, packed_t[:, :NUM_CAND].T, *([packed_t] * 9), sp_t, zp8)
     return out.reshape(cap, q_len, 2)
 
 
 def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
                   sp_tcx, sp_tcy, spill_valid, chunk: int,
-                  interpret: bool = False, int_prio: bool = False,
-                  packed_T=None):
+                  interpret: bool = False, int_prio: bool = False):
     """Per-spill group evaluation: same contract as
     :func:`_spill_groups_xla` (out [S, 9b+1, 2], q_id [S, 9b+1],
     q_slots [S, 9b]) but the window-query pair math runs in the Pallas
@@ -1562,7 +1485,7 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
 
     out_win = _spill_groups_window_pallas(
         cfg, zp5, packed_t, sp_rows[:, :NUM_CAND].T, sp_tcx, sp_tcy,
-        interpret, int_prio=int_prio, packed_T=packed_T,
+        interpret, int_prio=int_prio,
     )                                                        # [S, 9b, 2]
 
     # Window-query bookkeeping (identical to the XLA version).
@@ -1652,15 +1575,14 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     through ``dropped``.
     """
     dtype = position.dtype
-    packed_t, packed_T, bucket_pos, max_occ, dropped = bucketize(
+    packed_t, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
         interpret=interpret, presorted=presorted,
     )
     zparams4 = zparams5(zp)
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
-                                   interpret=interpret, int_prio=int_prio,
-                                   packed_T=packed_T)
+                                   interpret=interpret, int_prio=int_prio)
     ok = (bucket_pos < cfg.slots) & alive
     # Plain row gather: with presort the indices are MONOTONE, which the
     # hardware rewards (~5.4 ms at 1M vs ~10 for random order); a Pallas
@@ -1699,7 +1621,6 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
             spill_capacity, interpret=interpret, int_prio=int_prio,
-            packed_T=packed_T,
         )
         pack_over = dropped - n_bucket_over  # pack-kernel window overflow
         dropped = (unresolved + pack_over).astype(jnp.int32)

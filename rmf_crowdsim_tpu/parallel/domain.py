@@ -93,7 +93,10 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     """Domain-sharded version of ops.zanlungo_pallas.zanlungo_fused: same
     signature + mesh; same results."""
     dtype = position.dtype
-    packed_t, bucket_pos, max_occ, dropped = bucketize(
+    # packed_T is unused here: each shard re-derives its own extended
+    # plane (halo concat) inside shard_map, so the kernel's transpose
+    # fallback runs on the shard-local ext block.
+    packed_t, _packed_T, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive,
     )

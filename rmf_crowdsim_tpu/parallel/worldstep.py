@@ -325,7 +325,11 @@ def build_world_step(
         )
 
         zp = lp_params
-        packed, bpos_perm, occ, dropped = bucketize(
+        # bucketize's packed_T is NOT usable here: the shard edits the
+        # packed plane afterwards (global-frame PX restore, halo splice),
+        # so the force kernel takes its transpose fallback on the final
+        # plane.
+        packed, _packed_T, bpos_perm, occ, dropped = bucketize(
             ext_cfg,
             pos_sh[ord_u],
             st.velocity[ord_u],

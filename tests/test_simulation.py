@@ -123,6 +123,35 @@ def test_spawn_clearance_blocks():
     assert int(sim.last_events.spawn_dropped) == 1
 
 
+def test_many_sources_chunked_clearance():
+    """> 64 sources exercises the lax.map-chunked clearance pass
+    (step.py _spawn_phase); decisions must match the dense small-S path:
+    blocked sources (a parked agent within 0.4) drop their spawn, clear
+    ones spawn one agent each."""
+    n_src = 70  # > the 64-source chunk => 2 chunks, padded
+    sim = make_sim(capacity=256)
+    hl = ConstantVelocity((0.0, 0.0))
+    lp = NoLocalPlan()
+    # Park agents on the first 3 sources (spaced >> 0.4 apart).
+    blocked_xs = [0.0, 10.0, 20.0]
+    sim.add_agents([(x, 0.0) for x in blocked_xs], hl, lp, 5.0)
+    for i in range(n_src):
+        sim.add_source_sink(
+            SourceSink(
+                source=(i * 10.0, 0.0),
+                waypoints=[(i * 10.0, 400.0)],
+                radius_sink=1.0,
+                crowd_generator=MonotonicCrowd(1.0),
+                high_level_planner=hl,
+                local_planner=lp,
+                agent_eyesight_range=5.0,
+            )
+        )
+    sim.step(1.0)
+    assert sim.num_agents == 3 + (n_src - 3)
+    assert int(sim.last_events.spawn_dropped) == 3
+
+
 def test_loop_forever_wraps():
     """lib.rs:318-320: with loop_forever, reaching the last waypoint resets
     next_waypoint to 0 instead of despawning."""

@@ -101,7 +101,7 @@ def test_bucketize_roundtrip():
                               bucket=16, strip_tiles=6, sub_tiles=6)
     scene = random_scene(3, n, world, 2.0)
     pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
-    packed, bpos, max_occ, dropped = bucketize(
+    packed, packed_T, bpos, max_occ, dropped = bucketize(
         cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive)
     assert int(dropped) == 0
     packed = np.asarray(packed)
@@ -161,14 +161,17 @@ def test_pack_kernel_matches_scatter(seed):
                   use_pack_kernel=False)
     b = bucketize(cfg, pos, vel, pref_c, self_pref, prio, eye, rec, alive,
                   use_pack_kernel=True, interpret=True)
-    pa, ba, _, _ = a
-    pb, bb, _, _ = b
+    pa, pTa, ba, _, _ = a
+    pb, pTb, bb, _, _ = b
     np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
     pa, pb = np.asarray(pa), np.asarray(pb)
     # Identical on the meaningful rows (the scatter path leaves 0 in the
     # bpos/hit columns of sentinel rows; the pack path leaves 0 too except
     # col 13 on real rows — compare the kernel-consumed rows 0..12).
     np.testing.assert_array_equal(pa[:, :13], pb[:, :13])
+    # The pack kernel's transposed candidate plane must equal the scatter
+    # path's XLA transpose bitwise (it feeds the force kernel's strips).
+    np.testing.assert_array_equal(np.asarray(pTa), np.asarray(pTb))
 
 
 def test_fused_with_pack_kernel_matches_oracle():
@@ -209,7 +212,8 @@ def test_pack_kernel_overflow_diagnostic():
     )
     feat = feat.at[:, 13].set(bpos.astype(jnp.float32))
     feat = feat.at[:, 15].set(1.0)
-    packed, overflow = pack_rows_pallas(feat, bpos, slots, interpret=True)
+    packed, _pT, overflow = pack_rows_pallas(feat.T, bpos, slots,
+                                             interpret=True)
     # Everything needed fits (8 real rows at the window start): the
     # interleaved drop rows (bpos == slots) inflate the group's raw SPAN
     # past the window but are not packable, so the exact audit reports 0.
@@ -232,7 +236,8 @@ def test_pack_kernel_overflow_diagnostic():
     feat2 = jnp.zeros((n2, NUM_F), jnp.float32)
     feat2 = feat2.at[:, 13].set(bpos2.astype(jnp.float32))
     feat2 = feat2.at[:, 15].set(1.0)
-    _, overflow2 = pack_rows_pallas(feat2, bpos2, slots, interpret=True)
+    _, _, overflow2 = pack_rows_pallas(feat2.T, bpos2, slots,
+                                       interpret=True)
     assert int(overflow2) == 12
 
 
@@ -256,7 +261,8 @@ def test_pack_kernel_dead_tail_not_counted_as_overflow():
     feat = jnp.zeros((n, NUM_F), jnp.float32)
     feat = feat.at[:, 13].set(bpos.astype(jnp.float32))
     feat = feat.at[:, 15].set(1.0)
-    packed, overflow = pack_rows_pallas(feat, bpos, slots, interpret=True)
+    packed, _pT, overflow = pack_rows_pallas(feat.T, bpos, slots,
+                                             interpret=True)
     assert int(overflow) == 0
     np.testing.assert_array_equal(
         np.asarray(packed[1024:1024 + n_real, 15]), 1.0
@@ -445,7 +451,7 @@ def test_spill_groups_xla_fallback_matches_oracle(monkeypatch):
     import rmf_crowdsim_tpu.ops.zanlungo_pallas as zpal
 
     def xla_groups(cfg, zp, packed_t, sp, tcx, tcy, valid, chunk,
-                   interpret=False, int_prio=False):
+                   interpret=False, int_prio=False, packed_T=None):
         return zpal._spill_groups_xla(cfg, zp, packed_t, sp, tcx, tcy,
                                       valid, chunk)
 
