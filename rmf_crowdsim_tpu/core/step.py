@@ -181,8 +181,24 @@ def build_step(
     lp_planners: Sequence[Any],
     world_mesh=None,
     neighbor_fn=None,
+    skin_mode: bool = False,
 ):
     """Construct ``step(params, state, dt) -> (state, events)``.
+
+    ``skin_mode`` (skin-deferred presort): requests the variant
+    ``step(params, state, dt, skin) -> (state, events, skin)`` that
+    SKIPS the per-step tile sort + rank while no agent has moved more
+    than ``(tile_size - max_eyesight) / 2`` (infinity-norm) since the
+    last sort and no agent spawned or despawned — the classic
+    Verlet-skin argument: within that margin every true neighbor pair's
+    LAST-SORT tiles are still adjacent, so binning by the carried keys
+    keeps kernel coverage exact while pair masks use fresh positions
+    (neighbor sets and forces stay exact; only f32 summation order can
+    differ from a freshly-sorted binning).  Granted only when the
+    presort path is active and the margin is positive — check the
+    returned function's ``skin_mode`` attribute; when False the plain
+    3-argument step is returned.  At bench velocities the sort+rank
+    (~9.6 ms at 1M) amortizes over ~10+ steps.
 
     ``hl_planners`` / ``lp_planners`` are the planner registries (static:
     changing them retraces); agents select by ``state.hl_idx`` /
@@ -242,6 +258,12 @@ def build_step(
         and bucket_cfg is not None
         and world_mesh is None
     )
+    skin_margin = 0.0
+    if bucket_cfg is not None:
+        skin_margin = (
+            float(bucket_cfg.tile_size) - float(config.max_eyesight)
+        ) / 2.0
+    skin_mode = bool(skin_mode and presort and skin_margin > 0.0)
 
     def neighbor_table(state: SimState) -> nbr_ops.NeighborSet:
         if config.neighbor_backend == BACKEND_CUSTOM:
@@ -257,7 +279,59 @@ def build_step(
             max_per_cell=config.max_per_cell,
         )
 
-    def step(params: SimParams, state: SimState, dt) -> tuple[SimState, StepEvents]:
+    def _presort_state(state: SimState, spawned):
+        """The tile sort (see the presort comment block below): returns
+        (sorted state, sorted spawned mask, sorted tile keys)."""
+        from ..ops.zanlungo_pallas import tile_key
+
+        tkey = tile_key(bucket_cfg, state.position, state.alive)
+        small = (
+            (state.hl_idx + 1)
+            | ((state.lp_idx + 1) << 9)
+            | (state.alive.astype(jnp.int32) << 18)
+            | (spawned.astype(jnp.int32) << 19)
+        )
+        res = jax.lax.sort(
+            (
+                tkey,
+                state.position[:, 0], state.position[:, 1],
+                state.velocity[:, 0], state.velocity[:, 1],
+                state.preferred_vel[:, 0], state.preferred_vel[:, 1],
+                state.next_waypoint, state.eyesight,
+                state.uid, state.source_id, state.route_id,
+                state.route_wp, state.priority, small,
+            ),
+            # Unstable: stability costs an internal iota tiebreak
+            # (measured perf/sort_stable_ab.py: 6.81 vs 5.84 ms per
+            # [1M] 14-payload sort).  Tie order among same-tile
+            # agents shifts (a) f32 force-sum order and (b) WHICH
+            # agents take a full bucket's slots vs overflow to the
+            # spill path.  (b) is exact while the spill repair covers
+            # the overflow (the default); if spill capacity itself
+            # overruns, which agents get truncated becomes
+            # tie-order-dependent — still counted and surfaced via
+            # neighbor_truncated, but run-shape-dependent.  Physics
+            # parity is tolerance-tested either way (test_presort)
+            # and XLA sort stays deterministic for fixed input.
+            num_keys=1, is_stable=False,
+        )
+        (tkey_s, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
+         prio, small) = res
+        state = state.replace(
+            position=jnp.stack([px, py], axis=-1),
+            velocity=jnp.stack([vx, vy], axis=-1),
+            preferred_vel=jnp.stack([fx, fy], axis=-1),
+            next_waypoint=nwp, eyesight=eye,
+            alive=((small >> 18) & 1).astype(jnp.bool_),
+            uid=uidc, source_id=sid,
+            hl_idx=(small & 0x1FF) - 1,
+            lp_idx=((small >> 9) & 0x1FF) - 1,
+            route_id=rid, route_wp=rwp, priority=prio,
+        )
+        spawned = ((small >> 19) & 1).astype(jnp.bool_)
+        return state, spawned, tkey_s
+
+    def step(params: SimParams, state: SimState, dt, skin=None):
         n = config.capacity
         f = config.jdtype
         dt = jnp.asarray(dt, f)
@@ -281,61 +355,52 @@ def build_step(
         # the spawned mask rides along as a payload.  Slot indices are not
         # stable across steps (identity is uid); f32 force-sum order
         # changes tie-breaks only.
-        if presort:
-            from ..ops.zanlungo_pallas import tile_key
+        # Sort cost scales with payload count (~0.5 ms per [1M]
+        # payload): the four small fields ride one packed i32
+        # (planner registries are < 256 by the build_step assert;
+        # alive/spawned are bits).  hl_idx/lp_idx carry a -1 "none"
+        # sentinel (make_state fills dead slots with it), so each
+        # packs +1-BIASED into 9 bits — OR-ing a raw -1 would set
+        # every bit and resurrect dead slots as alive.
+        binning = None
+        skin_out = None
+        if skin_mode:
+            # Skin-deferred presort: reuse the carried sort order AND
+            # binning while every agent is within the skin margin of its
+            # position at the last sort and the population is unchanged
+            # (spawns break sortedness; despawns would leave dead agents
+            # packed as live candidates).  See build_step's docstring
+            # for the exactness argument.
+            from ..ops.zanlungo_pallas import rank_from_sorted_key
 
-            tkey = tile_key(bucket_cfg, state.position, state.alive)
-            # Sort cost scales with payload count (~0.5 ms per [1M]
-            # payload): the four small fields ride one packed i32
-            # (planner registries are < 256 by the build_step assert;
-            # alive/spawned are bits).  hl_idx/lp_idx carry a -1 "none"
-            # sentinel (make_state fills dead slots with it), so each
-            # packs +1-BIASED into 9 bits — OR-ing a raw -1 would set
-            # every bit and resurrect dead slots as alive.
-            small = (
-                (state.hl_idx + 1)
-                | ((state.lp_idx + 1) << 9)
-                | (state.alive.astype(jnp.int32) << 18)
-                | (spawned.astype(jnp.int32) << 19)
+            d = jnp.abs(state.position - skin["ref"])
+            disp = jnp.max(jnp.where(state.alive[:, None], d,
+                                     jnp.zeros((), f)))
+            need = (
+                (~skin["valid"])
+                | jnp.any(spawned)
+                | (disp > jnp.asarray(skin_margin, f))
             )
-            res = jax.lax.sort(
-                (
-                    tkey,
-                    state.position[:, 0], state.position[:, 1],
-                    state.velocity[:, 0], state.velocity[:, 1],
-                    state.preferred_vel[:, 0], state.preferred_vel[:, 1],
-                    state.next_waypoint, state.eyesight,
-                    state.uid, state.source_id, state.route_id,
-                    state.route_wp, state.priority, small,
-                ),
-                # Unstable: stability costs an internal iota tiebreak
-                # (measured perf/sort_stable_ab.py: 6.81 vs 5.84 ms per
-                # [1M] 14-payload sort).  Tie order among same-tile
-                # agents shifts (a) f32 force-sum order and (b) WHICH
-                # agents take a full bucket's slots vs overflow to the
-                # spill path.  (b) is exact while the spill repair covers
-                # the overflow (the default); if spill capacity itself
-                # overruns, which agents get truncated becomes
-                # tie-order-dependent — still counted and surfaced via
-                # neighbor_truncated, but run-shape-dependent.  Physics
-                # parity is tolerance-tested either way (test_presort)
-                # and XLA sort stays deterministic for fixed input.
-                num_keys=1, is_stable=False,
-            )
-            (_, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
-             prio, small) = res
-            state = state.replace(
-                position=jnp.stack([px, py], axis=-1),
-                velocity=jnp.stack([vx, vy], axis=-1),
-                preferred_vel=jnp.stack([fx, fy], axis=-1),
-                next_waypoint=nwp, eyesight=eye,
-                alive=((small >> 18) & 1).astype(jnp.bool_),
-                uid=uidc, source_id=sid,
-                hl_idx=(small & 0x1FF) - 1,
-                lp_idx=((small >> 9) & 0x1FF) - 1,
-                route_id=rid, route_wp=rwp, priority=prio,
-            )
-            spawned = ((small >> 19) & 1).astype(jnp.bool_)
+
+            def _do_sort(op):
+                st, spwn = op
+                st2, spwn2, tkey2 = _presort_state(st, spwn)
+                bpos, occ, nover = rank_from_sorted_key(bucket_cfg, tkey2)
+                return (st2, spwn2, tkey2, bpos, occ, nover,
+                        st2.position)
+
+            def _reuse(op):
+                st, spwn = op
+                return (st, spwn, skin["key"], skin["bpos"],
+                        skin["max_occ"], skin["n_over"], skin["ref"])
+
+            (state, spawned, tkey_c, bpos_c, occ_c, nover_c, ref_c
+             ) = jax.lax.cond(need, _do_sort, _reuse, (state, spawned))
+            binning = (tkey_c, bpos_c, occ_c, nover_c)
+            skin_out = dict(key=tkey_c, bpos=bpos_c, max_occ=occ_c,
+                            n_over=nover_c, ref=ref_c, resorted=need)
+        elif presort:
+            state, spawned, _ = _presort_state(state, spawned)
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
         # High-level pass (lib.rs:263-273): vel starts at zero; a planner
@@ -381,6 +446,7 @@ def build_step(
                         presorted=presort,
                         int_prio=getattr(config, "integer_priorities",
                                          False),
+                        binning=binning,
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped
@@ -486,8 +552,15 @@ def build_step(
             max_cell_occupancy=max_occ,
             neighbor_truncated=truncated,
         )
+        if skin_mode:
+            # A despawn this step invalidates the carried binning for the
+            # NEXT step: the dead agent's carried bucket slot would keep
+            # packing it as a live force candidate.
+            skin_out["valid"] = ~jnp.any(destroyed)
+            return state, events, skin_out
         return state, events
 
+    step.skin_mode = skin_mode
     return step
 
 
@@ -558,14 +631,39 @@ def build_rollout(
     (cheap anonymous per-step summaries).  > 0: ``ys`` is an
     :class:`EventStream` carrying exact per-step uid/position records (up
     to ``event_capacity`` per kind per step) for host-side EventListener
-    replay.  ``neighbor_fn``: see :func:`build_step`."""
+    replay.  ``neighbor_fn``: see :func:`build_step`.
+
+    On the presorted grid_pallas path the rollout runs the SKIN-DEFERRED
+    presort (see :func:`build_step`): the scan carries the last sort's
+    order/binning and only resorts when an agent outruns the skin margin
+    or the population changes — on slow-moving scenes the per-step
+    sort + rank amortizes away."""
     step = build_step(config, hl_planners, lp_planners,
-                      neighbor_fn=neighbor_fn)
+                      neighbor_fn=neighbor_fn, skin_mode=True)
+    uses_skin = bool(getattr(step, "skin_mode", False))
     k = int(event_capacity)
 
     def rollout(params: SimParams, state: SimState, dt, n_steps: int):
-        def body(st, _):
-            st, ev = step(params, st, dt)
+        n = config.capacity
+        skin0 = None
+        if uses_skin:
+            skin0 = dict(
+                valid=jnp.zeros((), jnp.bool_),
+                key=jnp.zeros((n,), jnp.int32),
+                bpos=jnp.zeros((n,), jnp.int32),
+                max_occ=jnp.zeros((), jnp.int32),
+                n_over=jnp.zeros((), jnp.int32),
+                ref=jnp.zeros((n, 2), config.jdtype),
+                resorted=jnp.zeros((), jnp.bool_),
+            )
+
+        def body(carry, _):
+            if uses_skin:
+                st, sk = carry
+                st, ev, sk = step(params, st, dt, sk)
+            else:
+                st = carry
+                st, ev = step(params, st, dt)
             c = RolloutCounters(
                 n_alive=st.num_alive,
                 n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
@@ -576,8 +674,9 @@ def build_rollout(
                 max_cell_occupancy=ev.max_cell_occupancy,
                 neighbor_truncated=ev.neighbor_truncated,
             )
+            out_carry = (st, sk) if uses_skin else st
             if k == 0:
-                return st, c
+                return out_carry, c
             # uids: spawned/reached agents are alive with their uid in
             # post-step state; destroyed uids come from the event record.
             s_uid, s_pos, s_drop = _compact_events(
@@ -587,7 +686,7 @@ def build_rollout(
             r_uid, r_pos, r_drop = _compact_events(
                 ev.waypoint_reached, st.uid, k, ev.waypoint_position
             )
-            return st, EventStream(
+            return out_carry, EventStream(
                 spawned_uid=s_uid,
                 spawned_pos=s_pos,
                 destroyed_uid=d_uid,
@@ -597,6 +696,10 @@ def build_rollout(
                 counters=c,
             )
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        carry0 = (state, skin0) if uses_skin else state
+        carry, ys = jax.lax.scan(body, carry0, None, length=n_steps)
+        if uses_skin:
+            carry = carry[0]
+        return carry, ys
 
     return rollout

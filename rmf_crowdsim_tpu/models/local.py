@@ -408,7 +408,8 @@ class Zanlungo(LocalPlanner):
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
-                   presorted: bool = False, int_prio: bool = False):
+                   presorted: bool = False, int_prio: bool = False,
+                   binning=None):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -440,5 +441,5 @@ class Zanlungo(LocalPlanner):
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
             spill_capacity=spill_capacity, presorted=presorted,
-            int_prio=int_prio,
+            int_prio=int_prio, binning=binning,
         )

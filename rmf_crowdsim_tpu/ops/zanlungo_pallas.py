@@ -236,10 +236,51 @@ def tile_key(cfg: BucketConfig, position, alive, col_clip=None):
     return jnp.where(alive, tid, jnp.int32(cfg.n_tiles))
 
 
+def rank_from_sorted_key(cfg: BucketConfig, sorted_tid):
+    """Rank-within-tile for a SORTED tile-key array (tile_key order) —
+    the binning half of :func:`bucketize`, exposed so callers that keep
+    state tile-sorted across steps (the skin-deferred presort,
+    core/step.py) can reuse a carried binning instead of recomputing it.
+
+    Returns (bpos_sorted [N] int32 — bucket slot per row, ``cfg.slots``
+    for dead/overflow rows; max_occ [] int32 — saturates at bucket + 2;
+    n_bucket_over [] int32 — alive rows beyond their tile's bucket).
+
+    Rank is a WINDOWED count: the sort makes same-tile rows contiguous,
+    so counting same-tid entries among the previous ``bucket + 1``
+    positions equals the true rank for every in-bucket row and saturates
+    (>= bucket) for overflow rows.  The bucket+1 shifted compares fuse
+    into one elementwise pass; the associative-scan formulation this
+    replaces cost ~26 ms at 1M (DESIGN_NOTES.md)."""
+    n = sorted_tid.shape[0]
+    t_sent = jnp.int32(cfg.n_tiles)
+    w = cfg.bucket + 1
+    padded = jnp.concatenate(
+        [jnp.full((w,), -2, jnp.int32), sorted_tid]
+    )
+    rank = jnp.zeros((n,), jnp.int32)
+    for k in range(1, w + 1):
+        rank = rank + (padded[w - k:w - k + n] == sorted_tid).astype(
+            jnp.int32
+        )
+    in_bucket = (sorted_tid < t_sent) & (rank < cfg.bucket)
+    bpos_sorted = jnp.where(
+        in_bucket, sorted_tid * jnp.int32(cfg.bucket) + rank,
+        jnp.int32(cfg.slots),
+    )
+    max_occ = jnp.max(
+        jnp.where(sorted_tid < t_sent, rank + 1, 0)
+    ).astype(jnp.int32)
+    n_bucket_over = jnp.sum(
+        ((sorted_tid < t_sent) & ~in_bucket).astype(jnp.int32)
+    ).astype(jnp.int32)
+    return bpos_sorted, max_occ, n_bucket_over
+
+
 def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
               self_pref, priority, eyesight, rec_vel, alive,
               use_pack_kernel: bool = False, interpret: bool = False,
-              presorted: bool = False, col_clip=None):
+              presorted: bool = False, col_clip=None, binning=None):
     """Pack agent features into the bucketed layout.
 
     ``presorted``: the caller guarantees agents are already ordered by
@@ -266,41 +307,32 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     Used by the world-sharded engine to clamp out-of-world agents into
     the world's edge column exactly like the single-device tile clip
     while shard-local halo columns exist.
+
+    ``binning``: optional (bpos_sorted [N] i32, max_occ [] i32,
+    n_bucket_over [] i32) — a carried binning from
+    :func:`rank_from_sorted_key`, valid only with ``presorted=True``
+    while the sort order AND every agent's tile key are unchanged (the
+    skin-deferred presort's contract, core/step.py).  Skips the key +
+    rank computation entirely.
     """
     n = position.shape[0]
     assert n < (1 << 24), "slot ids must be exact in f32"
-    t_sent = jnp.int32(cfg.n_tiles)
 
-    key = tile_key(cfg, position, alive, col_clip=col_clip)
-    if presorted:
+    if binning is not None:
+        assert presorted, "binning reuse requires presorted state"
         order = None
-        sorted_tid = key
+        bpos_sorted, max_occ, n_bucket_over = binning
     else:
-        order = jnp.argsort(key, stable=True).astype(jnp.int32)
-        sorted_tid = key[order]
-    # Rank within tile as a WINDOWED count: the sort makes same-tile
-    # rows contiguous, so counting same-tid entries among the previous
-    # ``bucket + 1`` positions equals the true rank for every in-bucket
-    # row and saturates (>= bucket) for overflow rows — exactly the
-    # information consumed below.  The bucket+1 shifted compares fuse
-    # into one elementwise pass; the associative-scan formulation this
-    # replaces cost ~26 ms at 1M (every [N]-prefix-shaped XLA op does —
-    # see DESIGN_NOTES.md).  ``rank`` saturates at bucket+1, so the
-    # occupancy diagnostic reads at most bucket+2.
-    w = cfg.bucket + 1
-    padded = jnp.concatenate(
-        [jnp.full((w,), -2, jnp.int32), sorted_tid]
-    )
-    rank = jnp.zeros((n,), jnp.int32)
-    for k in range(1, w + 1):
-        rank = rank + (padded[w - k:w - k + n] == sorted_tid).astype(
-            jnp.int32
+        key = tile_key(cfg, position, alive, col_clip=col_clip)
+        if presorted:
+            order = None
+            sorted_tid = key
+        else:
+            order = jnp.argsort(key, stable=True).astype(jnp.int32)
+            sorted_tid = key[order]
+        bpos_sorted, max_occ, n_bucket_over = rank_from_sorted_key(
+            cfg, sorted_tid
         )
-    in_bucket = (sorted_tid < t_sent) & (rank < cfg.bucket)
-    bpos_sorted = jnp.where(
-        in_bucket, sorted_tid * jnp.int32(cfg.bucket) + rank,
-        jnp.int32(cfg.slots),
-    )
 
     # Feature columns in agent order ([N] each).  The pack-kernel path
     # stacks them TRANSPOSED ([NUM_F, N], axis-0 stack of 1-D rows — no
@@ -362,13 +394,7 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
         bucket_pos = (
             jnp.full((n,), cfg.slots, jnp.int32).at[order].set(bpos_sorted)
         )
-    max_occ = jnp.max(
-        jnp.where(sorted_tid < t_sent, rank + 1, 0)
-    ).astype(jnp.int32)
-    dropped = (
-        jnp.sum(((sorted_tid < t_sent) & ~in_bucket).astype(jnp.int32))
-        + pack_overflow
-    ).astype(jnp.int32)
+    dropped = (n_bucket_over + pack_overflow).astype(jnp.int32)
     return packed_t, packed_T, bucket_pos, max_occ, dropped
 
 
@@ -1023,7 +1049,7 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
                 packed_t, bucket_pos, vel,
                 spill_capacity: int, chunk: int = 16,
                 interpret: bool = False, int_prio: bool = False,
-                packed_T=None):
+                packed_T=None, tile_xy=None):
     """EXACT repair of bucket-overflow truncation (the reference's
     per-cell sets are unbounded, location_hash_2d.rs:15).
 
@@ -1065,13 +1091,21 @@ def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
     )
     run = 5 * b  # rows per column slice (5 tiles)
     f32 = jnp.float32
-    inv_tile = 1.0 / cfg.tile_size
-    tcx = jnp.clip(jnp.floor(
-        (position[:, 0] - cfg.offset[0]) * inv_tile).astype(jnp.int32),
-        0, tx - 1)
-    tcy = jnp.clip(jnp.floor(
-        (position[:, 1] - cfg.offset[1]) * inv_tile).astype(jnp.int32),
-        0, ty - 1)
+    if tile_xy is not None:
+        # Carried binning (skin-deferred presort): the packed plane was
+        # binned by the LAST SORT's tile keys, so the spill windows must
+        # center on those tiles, not the fresh positions' — a spill's
+        # stale tile is where its neighbors are packed (the skin bound
+        # keeps every true neighbor within the stale 5x5/3x3 windows).
+        tcx, tcy = tile_xy
+    else:
+        inv_tile = 1.0 / cfg.tile_size
+        tcx = jnp.clip(jnp.floor(
+            (position[:, 0] - cfg.offset[0]) * inv_tile).astype(jnp.int32),
+            0, tx - 1)
+        tcy = jnp.clip(jnp.floor(
+            (position[:, 1] - cfg.offset[1]) * inv_tile).astype(jnp.int32),
+            0, ty - 1)
 
     is_spill = alive & (bucket_pos >= cfg.slots)
 
@@ -1638,7 +1672,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
                    spill_capacity: int = 0, presorted: bool = False,
-                   int_prio: bool = False):
+                   int_prio: bool = False, binning=None):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -1652,10 +1686,23 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     through ``dropped``.
     """
     dtype = position.dtype
+    tile_xy = None
+    bin3 = None
+    if binning is not None:
+        # (key, bpos, max_occ, n_bucket_over) carried by the
+        # skin-deferred presort (core/step.py): the state is still in
+        # the last sort's order and every agent's tile key is unchanged
+        # within the skin margin, so key + rank are skipped and the
+        # spill windows center on the carried tiles.
+        key_c, bpos_c, occ_c, over_c = binning
+        bin3 = (bpos_c, occ_c, over_c)
+        t_alive = jnp.clip(key_c, 0, cfg.n_tiles - 1)
+        tile_xy = (t_alive // jnp.int32(cfg.ty),
+                   t_alive % jnp.int32(cfg.ty))
     packed_t, packed_T, bucket_pos, max_occ, dropped = bucketize(
         cfg, position, velocity, pref_committed, self_pref, priority,
         eyesight, rec_vel, alive, use_pack_kernel=use_pack_kernel,
-        interpret=interpret, presorted=presorted,
+        interpret=interpret, presorted=presorted, binning=bin3,
     )
     zparams4 = zparams5(zp)
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
@@ -1699,7 +1746,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
             cfg, zp, position, velocity, self_pref, pref_committed,
             priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
             spill_capacity, interpret=interpret, int_prio=int_prio,
-            packed_T=packed_T,
+            packed_T=packed_T, tile_xy=tile_xy,
         )
         pack_over = dropped - n_bucket_over  # pack-kernel window overflow
         dropped = (unresolved + pack_over).astype(jnp.int32)
