@@ -59,8 +59,9 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # count, so oversizing costs nothing on clean steps).
         spill_capacity=max(128, n_agents // 4096),
         # Tile-sorted state across steps: one sort-with-payloads replaces
-        # bucketize's argsort + feature gather + inverse scatter, and
-        # enables the monotone unbucketize kernel (ops/compact_pallas.py).
+        # bucketize's argsort + feature gather + inverse scatter, makes
+        # the unbucketize gather monotone, and enables the skin-deferred
+        # sort (core/step.py skin_mode).
         presort=(backend == "grid_pallas"),
         # Bench priorities are the default agent uids (integers), so the
         # kernel may drop the right-of-way sqrt + slerp asin/sin
@@ -156,23 +157,29 @@ def compiled_parity_check(n_agents: int = 4096, n_steps: int = 5):
 
 
 def time_shard_proxy(d: int = 10, n_steps: int = 20):
-    """Measured per-shard workload of the D-device world-sharded engine
-    at the 1M bench scene (perf/shard_proxy.py, inlined): one shard's
-    extended kernel block — cols_per + 4 halo tile columns at bench
-    density — through the production rollout on the real chip.  Returns
-    {"d", "shard_agents", "ms_per_step", "implied_steps_per_sec"}.
+    """PROJECTED multi-chip evidence: one shard of the D-device
+    world-sharded engine, measured VERBATIM on the one real chip.
 
-    ``implied_steps_per_sec`` excludes the ppermute halo exchange
-    (~10-20 MB/step over ICI, sub-ms on v5e) and the migration pass, so
-    it is an upper bound — but a MEASURED per-shard one, replacing a
-    purely analytic 1/D scaling claim.  DESIGN_NOTES.md 'Honest ceiling'
-    records the D ladder; the >100 steps/s line crosses at D~10 v5e."""
+    Runs parallel/worldstep.build_world_rollout on a 1-DEVICE mesh over
+    a world sized to the D-shard's extended block (cols_per + 4 halo
+    tile columns at bench density, fully populated) — so the timed step
+    is the engine's actual shard body: canonical (tile, uid) re-sort,
+    col-clipped bucketize + global-frame restore, halo splice, fused
+    kernel over the extended block, exact spill machinery, migration
+    compaction and the psum'd spawn/uid bookkeeping, with the
+    collectives degenerate on one device.  What the number still
+    EXCLUDES is the real ICI transfer time (two ppermute halo exchanges,
+    ~10-20 MB/step, plus the small spill/migration messages) and any
+    multi-controller launch skew — hence ``projected: True``.
+
+    Returns {"d", "shard_agents", "ms_per_step",
+    "implied_steps_per_sec", "projected", "note"}."""
     import dataclasses
 
     from rmf_crowdsim_tpu import GridConfig, ParityVelocity, SimParams, \
         Zanlungo, make_state
-    from rmf_crowdsim_tpu.core.step import build_rollout
     from rmf_crowdsim_tpu.ops.zanlungo_pallas import BucketConfig
+    from rmf_crowdsim_tpu.parallel.worldstep import build_world_rollout
 
     n_world = 1_000_000
     world = _bench_config(n_world)
@@ -201,7 +208,10 @@ def time_shard_proxy(d: int = 10, n_steps: int = 20):
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
                   force_distance=1.0, agent_mass=2.0, agent_radius=0.25,
                   force_cap=20.0)
-    rollout = build_rollout(cfg, [hl], [lp])
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:1]), ("world_x",)
+    )
+    rollout = build_world_rollout(cfg, [hl], [lp], mesh)
     state = make_state(cfg)
     rng = np.random.default_rng(0)
     f = cfg.jdtype
@@ -221,14 +231,19 @@ def time_shard_proxy(d: int = 10, n_steps: int = 20):
     )
     params = SimParams(hl=(hl.init_params(),), lp=(lp.init_params(),),
                        sources=None)
-    run = jax.jit(rollout, static_argnums=(3,))
-    st, counters = run(params, state, 1.0 / 60.0, n_steps)
+
+    def fresh():
+        return jax.tree.map(jnp.copy, state)  # rollout donates its state
+
+    st, counters = rollout(params, fresh(), 1.0 / 60.0, n_steps)
     assert float(st.sim_time) > 0
     assert int(np.max(np.asarray(counters.neighbor_truncated))) == 0
     best = 1e9
     for _ in range(3):
+        s0 = fresh()
+        _ = float(s0.position[0, 0])  # sync the copy off the clock
         t0 = time.perf_counter()
-        st, _ = run(params, state, 1.0 / 60.0, n_steps)
+        st, _c = rollout(params, s0, 1.0 / 60.0, n_steps)
         _ = float(st.sim_time)
         best = min(best, time.perf_counter() - t0)
     ms = best / n_steps * 1e3
@@ -237,7 +252,11 @@ def time_shard_proxy(d: int = 10, n_steps: int = 20):
         "shard_agents": n,
         "ms_per_step": round(ms, 2),
         "implied_steps_per_sec": round(1e3 / ms, 1),
-        "note": "halo exchange (sub-ms ICI) excluded; see DESIGN_NOTES",
+        "projected": True,
+        "note": ("world-engine shard body measured verbatim on a "
+                 "1-device mesh; excludes real ICI transfer time "
+                 "(2 ppermute halo exchanges ~10-20 MB/step) and "
+                 "launch skew"),
     }
 
 

@@ -1,8 +1,11 @@
 """A/B the pre-rolled-strip-copies kernel (round 4) vs the per-sub-block
-dynamic-roll kernel (round 3, snapshotted as ops/zp_old_ab.py via
-`git show HEAD:...`), standalone scan-amortized, int_prio like the
-production 1M bench.
+dynamic-roll kernel (round 3), standalone scan-amortized, int_prio like
+the production 1M bench.  Snapshot the old module first:
+
+    git show <old-rev>:rmf_crowdsim_tpu/ops/zanlungo_pallas.py \
+        > /tmp/zp_old.py
 """
+import importlib.util
 import sys
 import time
 
@@ -58,7 +61,14 @@ def main():
     # Output parity on the real chip first (compiled, not interpret).
     new = jax.jit(lambda p: zpal.zanlungo_forces_bucketed(
         bcfg, zp4, p, int_prio=True))(packed_t)
-    from rmf_crowdsim_tpu.ops import zp_old_ab as old
+    # Load the snapshot INSIDE the package namespace so its relative
+    # imports (.compact, .pack_pallas) resolve.
+    spec = importlib.util.spec_from_file_location(
+        "rmf_crowdsim_tpu.ops.zp_old_ab", "/tmp/zp_old.py"
+    )
+    old = importlib.util.module_from_spec(spec)
+    sys.modules["rmf_crowdsim_tpu.ops.zp_old_ab"] = old
+    spec.loader.exec_module(old)
     obcfg = old.BucketConfig(**vars(bcfg))
     oldv = jax.jit(lambda p: old.zanlungo_forces_bucketed(
         obcfg, zp4, p, int_prio=True))(packed_t)

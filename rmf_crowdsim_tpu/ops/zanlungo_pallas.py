@@ -664,7 +664,20 @@ def _make_kernel(cfg: BucketConfig,
         N_COPIES = len(PHASES) + 1
         LAND = len(PHASES)
 
-    def kernel(zp_ref, packed_any, qt_ref, out_ref, strips_r, sem):
+    n_strips_k = ty // strip
+
+    def kernel(zp_ref, cnt_ref, packed_any, qt_ref, out_ref, strips_r,
+               sem):
+        # cnt_ref: [n_blocks] i32 scalar-prefetch — live-query count per
+        # sub-block (contiguous slot ranges; computed from the transposed
+        # plane's ID row by the wrapper).  Occupancy-adaptive execution:
+        # a sub-block with no live queries skips its entire pipeline, and
+        # a program whose strip has none skips the DMAs and pre-rolls
+        # too, so kernel work scales with OCCUPIED area, not world area
+        # (zero effect on uniformly-dense scenes; large on sparse or
+        # clustered worlds).  Skipped sub-blocks leave garbage in their
+        # output rows — only live agents' slots are ever gathered back.
+        #
         # Alignment strategy (Mosaic tiles every memref (8, 128), even in
         # HBM, and requires 128-aligned lane offsets AND extents):
         #   - candidate windows are lane-dim DMA slices of the packed
@@ -693,6 +706,11 @@ def _make_kernel(cfg: BucketConfig,
         radius = zp_ref[3]
         col_slots = ty * B
 
+        cnt_base = (px * n_strips_k + ps) * nsub
+        strip_live = jnp.int32(0)
+        for _s in range(nsub):
+            strip_live = strip_live + cnt_ref[cnt_base + _s]
+
         # ---- strip-resident candidate segments: ONE DMA set per program
         # (three whole-strip column segments), not three per sub-block —
         # per-transfer DMA latency at ~2 us dominated the kernel when
@@ -716,23 +734,26 @@ def _make_kernel(cfg: BucketConfig,
                 sem.at[k],
             )
 
-        for k in range(3):
-            strip_dma(k).start()
-        for k in range(3):
-            strip_dma(k).wait()
+        @pl.when(strip_live > 0)
+        def _dma_and_preroll():
+            for k in range(3):
+                strip_dma(k).start()
+            for k in range(3):
+                strip_dma(k).wait()
 
-        # Pre-roll once per program: STATIC-shift rolls (plain shifted
-        # copies, no dynamic lane-shift network).  ``roll(x, W_EXT - v)``
-        # puts source lane ``i + v`` at lane ``i``; sub-blocks never read
-        # past ``W_EXT - v`` lanes (asserted in _strip_shifts), so the
-        # wrapped tail is never consumed.
-        for k in range(3):
-            for p, v in enumerate(PHASES):
-                if p == LAND or v == 0:
-                    continue
-                strips_r[k, p] = pltpu.roll(
-                    strips_r[k, LAND], W_EXT - v, axis=1
-                )
+            # Pre-roll once per program: STATIC-shift rolls (plain
+            # shifted copies, no dynamic lane-shift network).
+            # ``roll(x, W_EXT - v)`` puts source lane ``i + v`` at lane
+            # ``i``; sub-blocks never read past ``W_EXT - v`` lanes
+            # (asserted in _strip_shifts), so the wrapped tail is never
+            # consumed.
+            for k in range(3):
+                for p, v in enumerate(PHASES):
+                    if p == LAND or v == 0:
+                        continue
+                    strips_r[k, p] = pltpu.roll(
+                        strips_r[k, LAND], W_EXT - v, axis=1
+                    )
 
         def win_true_start_l(s):
             # Column-local unaligned halo start: tiles [py0 + s*qb - 1,
@@ -754,6 +775,12 @@ def _make_kernel(cfg: BucketConfig,
             tri = (ci < rj).astype(jnp.float32)
 
         def sub_block(s, _):
+            @pl.when(cnt_ref[cnt_base + s] > 0)
+            def _live_sub_block():
+                _sub_block_body(s)
+            return 0
+
+        def _sub_block_body(s):
             # Slice each sub-block's halo window from the pre-rolled
             # strip copy matching its misalignment: one 128-aligned
             # 128-lane read, lanes [0, C) = exactly the true halo.
@@ -813,15 +840,20 @@ def _make_kernel(cfg: BucketConfig,
                     # px+k-1 are real (also masks out-of-world columns).
                     cand_slot = g_cls[k] + lane_iota
                     lo = (px + (k - 1)) * col_slots
-                    col_ok = (cand_slot >= lo) & (cand_slot < lo + col_slots)
+                    # Fold the two per-LANE terms ([1, C]) before the
+                    # broadcast against the [Q, C] terms — one fewer
+                    # full-width AND per window.
+                    lane_ok = (
+                        (cand_slot >= lo) & (cand_slot < lo + col_slots)
+                        & (cid_ >= 0)
+                    )
                     dx = cpx_ - qpx_
                     dy = cpy_ - qpy_
                     dist2 = dx * dx + dy * dy
                     masks.append(
                         (dist2 < qeye_ * qeye_)
                         & (cid_ != qid_)
-                        & (cid_ >= 0)
-                        & col_ok
+                        & lane_ok
                     )
                 return masks
 
@@ -870,7 +902,7 @@ def _make_kernel(cfg: BucketConfig,
 
             if not compact_pass2:
                 full_passes(masks)
-                return 0
+                return
 
             # ---- COMPACTED passes: the ~8 true neighbors per query are
             # a sliver of the 3*C candidate lanes, so full-width math is
@@ -983,8 +1015,6 @@ def _make_kernel(cfg: BucketConfig,
             def _():
                 full_passes(masks)
 
-            return 0
-
         jax.lax.fori_loop(0, nsub, sub_block, 0)
 
     return kernel, q_len, W_EXT, N_COPIES
@@ -1011,8 +1041,18 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     )
     n_strips = cfg.ty // cfg.strip_tiles
 
+    # Live-query count per sub-block (contiguous sub_q-slot ranges in the
+    # column-major layout) from the transposed plane's ID row — ONE
+    # contiguous [slots] read + a reshape-reduce (~0.1 ms at 1M).  Feeds
+    # the kernel's occupancy-adaptive skip.
+    sub_q = cfg.sub_tiles * cfg.bucket
+    counts = jnp.sum(
+        (packed_T[ROW_ID, :] >= 0).reshape(cfg.slots // sub_q, sub_q),
+        axis=-1, dtype=jnp.int32,
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(cfg.tx, n_strips),
         in_specs=[
             # Lane-major packed array pinned to HBM, manually DMA'd in
@@ -1041,7 +1081,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32), packed_T, packed_t)
+    )(zparams4.astype(jnp.float32), counts, packed_T, packed_t)
 
 
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
