@@ -175,6 +175,205 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     return state, spawned, dropped
 
 
+def _hl_phase(config: SimConfig, hl_planners, params: SimParams,
+              state: SimState):
+    """High-level planner pass (lib.rs:263-273): vel starts at zero; a
+    planner returning Some sets both vel and (the clone's)
+    preferred_vel.  Returns (vel, self_pref, state-with-route_wp).
+    Shared by the standard step and the resident rollout
+    (core/resident.py) — operates on whatever capacity ``state`` has."""
+    n = state.capacity
+    f = config.jdtype
+    vel = jnp.zeros((n, 2), f)
+    self_pref = state.preferred_vel
+    route_wp = state.route_wp
+    for i, planner in enumerate(hl_planners):
+        res = planner.plan(params.hl[i], state)
+        sel = state.hl_idx == jnp.int32(i)
+        use = sel & res.valid & state.alive
+        vel = jnp.where(use[:, None], res.vel, vel)
+        self_pref = jnp.where(use[:, None], res.vel, self_pref)
+        route_wp = jnp.where(sel & state.alive, res.route_wp, route_wp)
+    return vel, self_pref, state.replace(route_wp=route_wp)
+
+
+def _sink_phase(config: SimConfig, hl_planners, params: SimParams,
+                state: SimState):
+    """SourceSink waypoint bookkeeping (lib.rs:304-336) against the
+    PRE-integration position (lib.rs:314 reads agent.position before the
+    commit).  Returns (state, destroyed, reached).  Shared by the
+    standard step and the resident rollout."""
+    n = state.capacity
+    destroyed = jnp.zeros((n,), jnp.bool_)
+    reached = jnp.zeros((n,), jnp.bool_)
+    if params.sources is None:
+        return state, destroyed, reached
+    sp = params.sources
+    s = sp.source.shape[0]
+    w = sp.waypoints.shape[1]
+    has_ss = state.alive & (state.source_id >= 0)
+    src = jnp.clip(state.source_id, 0, s - 1)
+    wlen = sp.n_waypoints[src]
+    # Rogue agent: waypoint index past the end -> terminate
+    # (lib.rs:308-313; reference then still indexes the waypoint
+    # array — latent panic — we just remove).
+    rogue = has_ss & (state.next_waypoint >= wlen)
+    wp_c = jnp.clip(state.next_waypoint, 0, w - 1)
+    target = sp.waypoints[src, wp_c]  # [N, 2]
+    d = jnp.linalg.norm(state.position - target, axis=-1)
+    reached = has_ss & ~rogue & (d < sp.radius_sink[src])
+    at_last = state.next_waypoint == wlen - 1
+    looping = sp.loop_forever[src]
+    despawn = reached & at_last & ~looping
+    wrap = reached & at_last & looping
+    advance = reached & ~at_last
+    next_wp = jnp.where(
+        wrap,
+        0,
+        jnp.where(advance, state.next_waypoint + 1, state.next_waypoint),
+    )
+    # set_target for route-following planners on advance
+    # (lib.rs:325-334): assign the precomputed next leg.  NOTE the
+    # reference does NOT call set_target on loop_forever wraparound
+    # (lib.rs:318-320) — looping route-agents keep their old route;
+    # replicated by not reassigning on `wrap`.
+    route_id = state.route_id
+    route_wp = state.route_wp
+    for i, planner in enumerate(hl_planners):
+        if getattr(planner, "uses_routes", False):
+            sel = advance & (state.hl_idx == jnp.int32(i))
+            new_rid = sp.leg_route[src, jnp.clip(next_wp, 0, w - 1)]
+            route_id = jnp.where(sel, new_rid, route_id)
+            route_wp = jnp.where(sel, 0, route_wp)
+    destroyed = despawn | rogue
+    state = state.replace(
+        next_waypoint=jnp.where(has_ss, next_wp, state.next_waypoint),
+        route_id=route_id,
+        route_wp=route_wp,
+    )
+    return state, destroyed, reached
+
+
+def payload_sort_by_key(state: SimState, key, spawned):
+    """ONE unstable ``lax.sort`` with the whole SoA state as payloads,
+    ordered by ``key`` [N] int32 — the presort primitive shared by the
+    standard step (tile keys) and the resident rollout's double-sort
+    resort (core/resident.py, tile keys then slot targets).
+
+    Returns (sorted state, sorted spawned mask, sorted keys).
+
+    Unstable: stability costs an internal iota tiebreak (measured
+    perf/sort_stable_ab.py: 6.81 vs 5.84 ms per [1M] 14-payload sort).
+    Tie order among same-key agents shifts (a) f32 force-sum order and
+    (b) WHICH agents take a full bucket's slots vs overflow to the spill
+    path.  (b) is exact while the spill repair covers the overflow (the
+    default); if spill capacity itself overruns, which agents get
+    truncated becomes tie-order-dependent — still counted and surfaced
+    via neighbor_truncated, but run-shape-dependent.  Physics parity is
+    tolerance-tested either way (test_presort) and XLA sort stays
+    deterministic for fixed input.
+
+    The four small fields ride one packed i32 (planner registries are
+    < 256 by the build_step assert; alive/spawned are bits).
+    hl_idx/lp_idx carry a -1 "none" sentinel (make_state fills dead
+    slots with it), so each packs +1-BIASED into 9 bits — OR-ing a raw
+    -1 would set every bit and resurrect dead slots as alive."""
+    small = (
+        (state.hl_idx + 1)
+        | ((state.lp_idx + 1) << 9)
+        | (state.alive.astype(jnp.int32) << 18)
+        | (spawned.astype(jnp.int32) << 19)
+    )
+    res = jax.lax.sort(
+        (
+            key,
+            state.position[:, 0], state.position[:, 1],
+            state.velocity[:, 0], state.velocity[:, 1],
+            state.preferred_vel[:, 0], state.preferred_vel[:, 1],
+            state.next_waypoint, state.eyesight,
+            state.uid, state.source_id, state.route_id,
+            state.route_wp, state.priority, small,
+        ),
+        num_keys=1, is_stable=False,
+    )
+    (key_s, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
+     prio, small) = res
+    state = state.replace(
+        position=jnp.stack([px, py], axis=-1),
+        velocity=jnp.stack([vx, vy], axis=-1),
+        preferred_vel=jnp.stack([fx, fy], axis=-1),
+        next_waypoint=nwp, eyesight=eye,
+        alive=((small >> 18) & 1).astype(jnp.bool_),
+        uid=uidc, source_id=sid,
+        hl_idx=(small & 0x1FF) - 1,
+        lp_idx=((small >> 9) & 0x1FF) - 1,
+        route_id=rid, route_wp=rwp, priority=prio,
+    )
+    spawned = ((small >> 19) & 1).astype(jnp.bool_)
+    return state, spawned, key_s
+
+
+def _finish_phase(config: SimConfig, hl_planners, params: SimParams,
+                  state: SimState, vel, self_pref, spawned, spawn_dropped,
+                  max_occ, truncated, dt):
+    """The step's tail, shared by the standard step and the resident
+    rollout (core/resident.py): Euler integration (lib.rs:295-297),
+    out-of-grid flag (vs the reference erroring the whole step,
+    lib.rs:299-302), SourceSink waypoint bookkeeping (lib.rs:304-336),
+    Phase C commit (lib.rs:350-359), Phase D despawn, and the event
+    record.  Returns (state, events, destroyed)."""
+    n = state.capacity
+    f = config.jdtype
+    new_pos = state.position + vel * dt
+
+    if config.grid is not None:
+        _, _, in_bounds = grid_ops.cell_coords(config.grid, new_pos)
+        out_of_bounds = state.alive & ~in_bounds
+    else:
+        out_of_bounds = jnp.zeros((n,), jnp.bool_)
+
+    state, destroyed, reached = _sink_phase(
+        config, hl_planners, params, state
+    )
+
+    alive_pre = state.alive
+    pos_premove = state.position
+    committed_pref = (
+        jnp.where(alive_pre[:, None], self_pref, state.preferred_vel)
+        if config.commit_preferred_vel
+        else state.preferred_vel
+    )
+    state = state.replace(
+        position=jnp.where(alive_pre[:, None], new_pos, state.position),
+        velocity=jnp.where(alive_pre[:, None], vel, state.velocity),
+        preferred_vel=committed_pref,
+        alive=alive_pre & ~destroyed,
+        sim_time=state.sim_time + dt,
+    )
+
+    events = StepEvents(
+        spawned=spawned,
+        destroyed=destroyed,
+        waypoint_reached=reached,
+        # agent_spawned fires with the spawn position (lib.rs:151-153),
+        # before the agent's first integration.
+        spawn_position=jnp.where(
+            spawned[:, None], pos_premove, jnp.zeros((n, 2), f)
+        ),
+        destroyed_uid=jnp.where(destroyed, state.uid, -1),
+        # Reference prints "Reached waypoint" with the pre-move
+        # position in scope (lib.rs:314-317); report the same.
+        waypoint_position=jnp.where(
+            reached[:, None], pos_premove, jnp.zeros((n, 2), f)
+        ),
+        out_of_bounds=out_of_bounds,
+        spawn_dropped=spawn_dropped.astype(jnp.int32),
+        max_cell_occupancy=max_occ,
+        neighbor_truncated=truncated,
+    )
+    return state, events, destroyed
+
+
 def build_step(
     config: SimConfig,
     hl_planners: Sequence[Any],
@@ -285,51 +484,8 @@ def build_step(
         from ..ops.zanlungo_pallas import tile_key
 
         tkey = tile_key(bucket_cfg, state.position, state.alive)
-        small = (
-            (state.hl_idx + 1)
-            | ((state.lp_idx + 1) << 9)
-            | (state.alive.astype(jnp.int32) << 18)
-            | (spawned.astype(jnp.int32) << 19)
-        )
-        res = jax.lax.sort(
-            (
-                tkey,
-                state.position[:, 0], state.position[:, 1],
-                state.velocity[:, 0], state.velocity[:, 1],
-                state.preferred_vel[:, 0], state.preferred_vel[:, 1],
-                state.next_waypoint, state.eyesight,
-                state.uid, state.source_id, state.route_id,
-                state.route_wp, state.priority, small,
-            ),
-            # Unstable: stability costs an internal iota tiebreak
-            # (measured perf/sort_stable_ab.py: 6.81 vs 5.84 ms per
-            # [1M] 14-payload sort).  Tie order among same-tile
-            # agents shifts (a) f32 force-sum order and (b) WHICH
-            # agents take a full bucket's slots vs overflow to the
-            # spill path.  (b) is exact while the spill repair covers
-            # the overflow (the default); if spill capacity itself
-            # overruns, which agents get truncated becomes
-            # tie-order-dependent — still counted and surfaced via
-            # neighbor_truncated, but run-shape-dependent.  Physics
-            # parity is tolerance-tested either way (test_presort)
-            # and XLA sort stays deterministic for fixed input.
-            num_keys=1, is_stable=False,
-        )
-        (tkey_s, px, py, vx, vy, fx, fy, nwp, eye, uidc, sid, rid, rwp,
-         prio, small) = res
-        state = state.replace(
-            position=jnp.stack([px, py], axis=-1),
-            velocity=jnp.stack([vx, vy], axis=-1),
-            preferred_vel=jnp.stack([fx, fy], axis=-1),
-            next_waypoint=nwp, eyesight=eye,
-            alive=((small >> 18) & 1).astype(jnp.bool_),
-            uid=uidc, source_id=sid,
-            hl_idx=(small & 0x1FF) - 1,
-            lp_idx=((small >> 9) & 0x1FF) - 1,
-            route_id=rid, route_wp=rwp, priority=prio,
-        )
-        spawned = ((small >> 19) & 1).astype(jnp.bool_)
-        return state, spawned, tkey_s
+        st, spwn, key_s = payload_sort_by_key(state, tkey, spawned)
+        return st, spwn, key_s
 
     def step(params: SimParams, state: SimState, dt, skin=None):
         n = config.capacity
@@ -403,19 +559,7 @@ def build_step(
             state, spawned, _ = _presort_state(state, spawned)
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
-        # High-level pass (lib.rs:263-273): vel starts at zero; a planner
-        # returning Some sets both vel and (the clone's) preferred_vel.
-        vel = jnp.zeros((n, 2), f)
-        self_pref = state.preferred_vel
-        route_wp = state.route_wp
-        for i, planner in enumerate(hl_planners):
-            res = planner.plan(params.hl[i], state)
-            sel = state.hl_idx == jnp.int32(i)
-            use = sel & res.valid & state.alive
-            vel = jnp.where(use[:, None], res.vel, vel)
-            self_pref = jnp.where(use[:, None], res.vel, self_pref)
-            route_wp = jnp.where(sel & state.alive, res.route_wp, route_wp)
-        state = state.replace(route_wp=route_wp)
+        vel, self_pref, state = _hl_phase(config, hl_planners, params, state)
 
         # Local pass (lib.rs:276-292): neighbor candidates from step-start
         # state, then each local planner corrects the recommended velocity.
@@ -455,102 +599,9 @@ def build_step(
                 sel = (state.lp_idx == jnp.int32(i)) & state.alive
                 vel = jnp.where(sel[:, None], v, vel)
 
-        # Euler integration (lib.rs:295-297).
-        new_pos = state.position + vel * dt
-
-        # Out-of-grid flag (the reference errors the whole step instead,
-        # lib.rs:299-302).
-        if config.grid is not None:
-            _, _, in_bounds = grid_ops.cell_coords(config.grid, new_pos)
-            out_of_bounds = state.alive & ~in_bounds
-        else:
-            out_of_bounds = jnp.zeros((n,), jnp.bool_)
-
-        # ---- SourceSink waypoint bookkeeping (lib.rs:304-336) ----------
-        # All checks use the PRE-integration position (lib.rs:314 reads
-        # agent.position before the commit).
-        destroyed = jnp.zeros((n,), jnp.bool_)
-        reached = jnp.zeros((n,), jnp.bool_)
-        if params.sources is not None:
-            sp = params.sources
-            s = sp.source.shape[0]
-            w = sp.waypoints.shape[1]
-            has_ss = state.alive & (state.source_id >= 0)
-            src = jnp.clip(state.source_id, 0, s - 1)
-            wlen = sp.n_waypoints[src]
-            # Rogue agent: waypoint index past the end -> terminate
-            # (lib.rs:308-313; reference then still indexes the waypoint
-            # array — latent panic — we just remove).
-            rogue = has_ss & (state.next_waypoint >= wlen)
-            wp_c = jnp.clip(state.next_waypoint, 0, w - 1)
-            target = sp.waypoints[src, wp_c]  # [N, 2]
-            d = jnp.linalg.norm(state.position - target, axis=-1)
-            reached = has_ss & ~rogue & (d < sp.radius_sink[src])
-            at_last = state.next_waypoint == wlen - 1
-            looping = sp.loop_forever[src]
-            despawn = reached & at_last & ~looping
-            wrap = reached & at_last & looping
-            advance = reached & ~at_last
-            next_wp = jnp.where(
-                wrap,
-                0,
-                jnp.where(advance, state.next_waypoint + 1, state.next_waypoint),
-            )
-            # set_target for route-following planners on advance
-            # (lib.rs:325-334): assign the precomputed next leg.  NOTE the
-            # reference does NOT call set_target on loop_forever wraparound
-            # (lib.rs:318-320) — looping route-agents keep their old route;
-            # replicated by not reassigning on `wrap`.
-            route_id = state.route_id
-            route_wp = state.route_wp
-            for i, planner in enumerate(hl_planners):
-                if getattr(planner, "uses_routes", False):
-                    sel = advance & (state.hl_idx == jnp.int32(i))
-                    new_rid = sp.leg_route[src, jnp.clip(next_wp, 0, w - 1)]
-                    route_id = jnp.where(sel, new_rid, route_id)
-                    route_wp = jnp.where(sel, 0, route_wp)
-            destroyed = despawn | rogue
-            state = state.replace(
-                next_waypoint=jnp.where(has_ss, next_wp, state.next_waypoint),
-                route_id=route_id,
-                route_wp=route_wp,
-            )
-
-        # ---- Phase C: commit (lib.rs:350-359), Phase D: despawn --------
-        alive_pre = state.alive
-        pos_premove = state.position
-        committed_pref = (
-            jnp.where(alive_pre[:, None], self_pref, state.preferred_vel)
-            if config.commit_preferred_vel
-            else state.preferred_vel
-        )
-        state = state.replace(
-            position=jnp.where(alive_pre[:, None], new_pos, state.position),
-            velocity=jnp.where(alive_pre[:, None], vel, state.velocity),
-            preferred_vel=committed_pref,
-            alive=alive_pre & ~destroyed,
-            sim_time=state.sim_time + dt,
-        )
-
-        events = StepEvents(
-            spawned=spawned,
-            destroyed=destroyed,
-            waypoint_reached=reached,
-            # agent_spawned fires with the spawn position (lib.rs:151-153),
-            # before the agent's first integration.
-            spawn_position=jnp.where(
-                spawned[:, None], pos_premove, jnp.zeros((n, 2), f)
-            ),
-            destroyed_uid=jnp.where(destroyed, state.uid, -1),
-            # Reference prints "Reached waypoint" with the pre-move
-            # position in scope (lib.rs:314-317); report the same.
-            waypoint_position=jnp.where(
-                reached[:, None], pos_premove, jnp.zeros((n, 2), f)
-            ),
-            out_of_bounds=out_of_bounds,
-            spawn_dropped=spawn_dropped.astype(jnp.int32),
-            max_cell_occupancy=max_occ,
-            neighbor_truncated=truncated,
+        state, events, destroyed = _finish_phase(
+            config, hl_planners, params, state, vel, self_pref, spawned,
+            spawn_dropped, max_occ, truncated, dt,
         )
         if skin_mode:
             # A despawn this step invalidates the carried binning for the

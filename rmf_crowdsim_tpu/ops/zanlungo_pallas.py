@@ -601,7 +601,9 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     falloff = jnp.exp(surface_dist * (-1.0 / force_distance))  # scalar div
     scale = magnitude * falloff
     # Select AFTER the multiply: masked lanes hold sentinel-driven inf/NaN
-    # garbage that must never leak through arithmetic.
+    # garbage that must never leak through arithmetic (ux itself is NaN on
+    # sentinel lanes: d2n overflows to inf, inv_d == 0, inf * 0) — folding
+    # the mask into `scale` alone would leak NaN via ux * 0.
     return (jnp.where(mask, ux * scale, 0.0),
             jnp.where(mask, uy * scale, 0.0))
 
@@ -808,10 +810,18 @@ def _make_kernel(cfg: BucketConfig,
 
             q0 = s * sub_q
 
-            # Query features: [sub_q, 1] sublane columns (queries in
-            # sublanes, candidates in lanes: pair matrices are [Q, C]).
+            # Query features: ONE [sub_q, NUM_F] block read, then STATIC
+            # [sub_q, 1] column slices (queries in sublanes, candidates
+            # in lanes: pair matrices are [Q, C]).  Measured EXACTLY
+            # cost-neutral vs eleven separate dynamic-offset [sub_q, 1]
+            # slices (perf/adaptive_ab.py A/B, bitwise parity) — Mosaic
+            # already folded the per-slice work; kvar2 stage 3's +3.9 ms
+            # is the query-broadcast relayouts, which remain either way.
+            # Kept for the single-read clarity, not speed.
+            qblk = qt_ref[pl.ds(q0, sub_q), :]
+
             def qrow(r):
-                return qt_ref[pl.ds(q0, sub_q), r:r + 1]
+                return qblk[:, r:r + 1]
 
             qpx_, qpy_ = qrow(ROW_PX), qrow(ROW_PY)
             qvx_, qvy_ = qrow(ROW_VX), qrow(ROW_VY)
@@ -933,9 +943,16 @@ def _make_kernel(cfg: BucketConfig,
                 r_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (C, 1), 0
                 ).astype(jnp.float32)
+                # One-hot converted to bf16 ONCE (0/1 are exact; a
+                # direct bf16 where() hits an unsupported i1 relayout in
+                # Mosaic): the three compaction matmuls consume
+                # native-bf16 operands — bitwise-equal to DEFAULT's
+                # on-the-fly conversion and measured cost-NEUTRAL
+                # (perf/adaptive_ab.py; Mosaic was already CSE-ing the
+                # conversion across the passes).
                 p_t = jnp.where(
                     (rank == r_iota) & (u > 0), 1.0, 0.0
-                )                                        # [C, 3C]
+                ).astype(jnp.bfloat16)                   # [C, 3C] bf16
                 w_all = jnp.concatenate(
                     [rolled[k][:, :C] for k in range(3)], axis=1
                 )                                        # [NUM_CAND, 3C]
@@ -953,10 +970,16 @@ def _make_kernel(cfg: BucketConfig,
                 # 3 DEFAULT MXU passes replace HIGHEST's 6-pass two-sided
                 # decomposition at identical results.
                 def split3(wv):
-                    hi = wv.astype(jnp.bfloat16).astype(jnp.float32)
-                    r1 = wv - hi
-                    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-                    return hi, mid, r1 - mid
+                    # Each term is EXACTLY a bf16 value (successive 8-bit
+                    # significand slices of the 24-bit f32 significand),
+                    # so returning them AS bf16 is lossless; measured
+                    # cost-neutral vs f32 terms + DEFAULT conversion
+                    # (perf/adaptive_ab.py) — kept for explicitness.
+                    hi = wv.astype(jnp.bfloat16)
+                    r1 = wv - hi.astype(jnp.float32)
+                    mid = r1.astype(jnp.bfloat16)
+                    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return hi, mid, lo
 
                 def dot_d(a, b):
                     return jax.lax.dot_general(
