@@ -14,9 +14,13 @@ piece of the per-step bucketize.  This kernel replaces it:
 - Placement is a one-hot matmul on the MXU:
   ``region[G, F] = sum_c onehot_c[G, 256] @ chunk_c[F, 256].T``
   via ``dot_general`` contracting the row dim — no transposes needed.
-  BITWISE exact in 3 DEFAULT passes: 0/1 weights are lossless in bf16
-  and the data operand splits into three exactly-bf16 8-bit significand
-  slices (see the kernel body; replaces the earlier 6-pass HIGHEST).
+  BITWISE exact: 0/1 weights are lossless in bf16 and the data operand
+  splits into three exactly-bf16 8-bit significand slices.  The three
+  split terms are STACKED into ONE matmul per orientation (N=48 row
+  plane / M=32 transposed plane incl. the hit counter) — small-M/N
+  matmuls pay the full MXU pipeline fill for a sliver of work, and the
+  stack amortizes it (measured −2.9 ms/step at 1M, perf/mxfuse_ab.py);
+  the per-GROUP folds keep the exact (hi + mid) + lo order.
 - Row 15 of every real feature row is 1.0, so ``region[:, 15]`` counts
   hits; empty slots blend in the sentinel row algebraically:
   ``region += (1 - region[:, 15:16]) * sentinel_row``.
@@ -73,7 +77,7 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
     GROUP, CHUNK, MAX_CHUNKS = group, chunk_sz, max_chunks
 
     def kernel(r0_ref, nc_ref, feat_t_any, sent_ref, out_ref, out_t_ref,
-               chunks, region, region_t, filled_t, sem):
+               chunks, region, region_t, sem):
         # feat_t_any: TRANSPOSED features [NUM_F, n_pad] — Mosaic requires
         # DMA lane offsets/extents to be 128-aligned, so row chunks are
         # read lane-major at 128-aligned starts (r0 is align128'd).
@@ -94,9 +98,8 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
         def _():
             chunk_dma(0, 0).start()
 
-        region[...] = jnp.zeros((GROUP, NUM_F), jnp.float32)
-        region_t[...] = jnp.zeros((NUM_CAND, GROUP), jnp.float32)
-        filled_t[...] = jnp.zeros((1, GROUP), jnp.float32)
+        region[...] = jnp.zeros((GROUP, 3 * NUM_F), jnp.float32)
+        region_t[...] = jnp.zeros((2 * NUM_F, GROUP), jnp.float32)
         base = (g * GROUP).astype(jnp.float32)
 
         def body(c, _):
@@ -142,41 +145,29 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
                 mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
                 lo = r1 - mid
 
-                def dot_d(b):
-                    return jax.lax.dot_general(
-                        onehot, b,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-
-                region[...] = region[...] + (
-                    (dot_d(hi) + dot_d(mid)) + dot_d(lo)
+                # ONE matmul per orientation instead of 3-4 small ones:
+                # an M=8 (or N=16) matmul pays the full MXU pipeline fill
+                # for a sliver of work, so the bf16-split terms are
+                # STACKED — hi/mid/lo along N for the row-major plane
+                # ([GROUP, 48], folded per GROUP below) and along M for
+                # the transposed plane ([32, GROUP]: 3x8 candidate rows +
+                # rows_t[8:16], whose last row is ROW_ONE == the hit
+                # counter).  Each fold keeps the exact (hi + mid) + lo
+                # order, and every output slot still sums one true value
+                # plus exact zeros (slots are unique), so the result is
+                # BITWISE identical to the separate passes (parity-tested
+                # vs the XLA scatter).
+                region[...] = region[...] + jax.lax.dot_general(
+                    onehot, jnp.concatenate([hi, mid, lo], axis=0),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
-
-                # Transposed candidate plane [NUM_CAND, GROUP] — the
-                # force kernel's strip-DMA source orientation.  Emitting
-                # it here (3 extra small-M DEFAULT passes, bitwise by the
-                # same bf16-split argument) replaces a per-step XLA
-                # [slots, 16] -> [8, slots] transpose measured at ~9 ms
-                # at 1M — the single biggest hidden cost of the round-3
-                # step (perf/kvar2.py stages 102 vs 105).
-                def dot_t(b):
-                    return jax.lax.dot_general(
-                        b[:NUM_CAND], onehot,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-
-                region_t[...] = region_t[...] + (
-                    (dot_t(hi) + dot_t(mid)) + dot_t(lo)
-                )
-                # Lane-major hit counter [1, GROUP] (ROW_ONE is 1.0 on
-                # real rows, 0 on padding; 0/1 x 0/1 is exact in ONE
-                # DEFAULT pass).
-                filled_t[...] = filled_t[...] + jax.lax.dot_general(
-                    rows_t[ROW_ONE:ROW_ONE + 1, :], onehot,
+                region_t[...] = region_t[...] + jax.lax.dot_general(
+                    jnp.concatenate(
+                        [hi[:NUM_CAND], mid[:NUM_CAND], lo[:NUM_CAND],
+                         rows_t[NUM_CAND:]], axis=0),
+                    onehot,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
@@ -188,8 +179,18 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
         # span covers (most groups need ceil(GROUP*fill/CHUNK)).
         jax.lax.fori_loop(0, nc, body, 0)
 
-        filled = region[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
-        out_ref[...] = region[...] + (1.0 - filled) * sent_ref[...]
+        # Fold the stacked bf16-split terms once per GROUP (exact order).
+        reg = (region[:, :NUM_F] + region[:, NUM_F:2 * NUM_F]) \
+            + region[:, 2 * NUM_F:]                     # [GROUP, NUM_F]
+        filled = reg[:, ROW_ONE:ROW_ONE + 1]  # 1.0 where a row landed
+        out_ref[...] = reg + (1.0 - filled) * sent_ref[...]
+        reg_t = (region_t[:NUM_CAND] + region_t[NUM_CAND:2 * NUM_CAND]) \
+            + region_t[2 * NUM_CAND:3 * NUM_CAND]       # [NUM_CAND, GROUP]
+        # Hit counter rode the transposed matmul as rows_t[8:16]'s last
+        # row (ROW_ONE: 1.0 real rows x 0/1 one-hot — exact in one pass;
+        # the other stacked query-side rows are discarded).
+        filled_t = region_t[3 * NUM_CAND + (ROW_ONE - NUM_CAND):
+                            3 * NUM_CAND + (ROW_ONE - NUM_CAND) + 1]
         # Sentinel as a sublane column (iota-built — slicing the
         # lane-major sent_ref row here would be a cross-axis relayout).
         ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_CAND, 1), 0)
@@ -197,9 +198,7 @@ def _make_kernel(n_pad: int, slots: int, group: int = GROUP,
             (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
             jnp.where(ri == ROW_ID, -1.0, 0.0),
         )
-        out_t_ref[...] = region_t[...] + (
-            (1.0 - filled_t[...]) * sent_col
-        )
+        out_t_ref[...] = reg_t + (1.0 - filled_t) * sent_col
 
     return kernel
 
@@ -295,9 +294,8 @@ def pack_rows_pallas(feat_t, bpos_sorted, slots: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NUM_F, CHUNK), jnp.float32),
-            pltpu.VMEM((GROUP, NUM_F), jnp.float32),
-            pltpu.VMEM((NUM_CAND, GROUP), jnp.float32),
-            pltpu.VMEM((1, GROUP), jnp.float32),
+            pltpu.VMEM((GROUP, 3 * NUM_F), jnp.float32),
+            pltpu.VMEM((2 * NUM_F, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

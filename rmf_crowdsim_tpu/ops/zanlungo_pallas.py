@@ -476,7 +476,7 @@ def _sin0hp(x):
 
 def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
                 cpx, cpy, cvx, cvy, cfx, cfy, cprio, mask,
-                int_prio: bool = False):
+                int_prio: bool = False, inv_t=None):
     """Pairwise force [Q, C] given per-query min TTC ``t_i`` [Q, 1]
     (zanlungo.rs:93-198; mirrors models/local.py zanlungo_velocity).
 
@@ -592,7 +592,8 @@ def _pair_force(zp, t_i, qpx, qpy, qvx, qvy, qspx, qspy, qprio,
     sdx = mvx - ovx
     sdy = mvy - ovy
     speed_diff = jnp.sqrt(sdx * sdx + sdy * sdy)
-    inv_t = 1.0 / jnp.where(t_i > 0, t_i, 1.0)  # [Q, 1] — one div/query
+    if inv_t is None:
+        inv_t = 1.0 / jnp.where(t_i > 0, t_i, 1.0)  # [Q, 1]: one div/query
     magnitude = weight * agent_scale * speed_diff * inv_t
     inf = jnp.float32(jnp.inf)
     magnitude = jnp.where((t_i == 0) & (speed_diff * weight > 0), inf,
@@ -635,10 +636,13 @@ def _strip_shifts(cfg: BucketConfig) -> Tuple[int, ...]:
 
 def _make_kernel(cfg: BucketConfig,
                  compact_pass2: bool = True,
-                 int_prio: bool = False):
+                 int_prio: bool = False,
+                 dual_row: bool = False):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
+    # Dual-row segmented compaction needs an 8-aligned half split.
+    dual_row = bool(dual_row and compact_pass2 and sub_q % 16 == 0)
     sub_c = (qb + 2) * B
     nsub = strip // qb
     slots = cfg.slots
@@ -923,90 +927,122 @@ def _make_kernel(cfg: BucketConfig,
             # the force math once over [sub_q, C] instead of 3x.  Union
             # overflow (> C candidates, dense hotspots) falls back to the
             # full-width passes for this sub-block — exactness either way.
-            u = jnp.concatenate(
-                [jnp.any(m, axis=0, keepdims=True) for m in masks], axis=1
-            ).astype(jnp.float32)                       # [1, 3C]
-            # Exclusive prefix count via triangular matmul (exact integer
-            # counts in f32): rank[r] = #union lanes before r.  DEFAULT
-            # precision is EXACT here: both operands are 0/1 (lossless in
-            # bf16) and the MXU accumulates in f32 — one pass instead of
-            # HIGHEST's multi-pass f32 decomposition.
-            rank = jax.lax.dot_general(
-                u, tri, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )                                            # [1, 3C]
+            #
+            # ``dual_row`` adds a third, narrower tier that runs FIRST
+            # when it fits: the sub-block's two query half-groups (tile-
+            # contiguous, so each half's candidate union is one dilated-
+            # tile footprint instead of two) are compacted into the two
+            # 64-lane HALVES of the same C-lane plane, and the pair math
+            # runs on [sub_q/2, C] rows serving TWO queries each (query
+            # features selected per lane half) — half the force/TTC
+            # width.  Candidates within eyesight of both halves are
+            # duplicated into both segments (their pair masks need them);
+            # per-query sums therefore hold the same addends, though the
+            # reduction tree groups them differently (ULP-level vs the
+            # shared path — tolerance-tested, like oracle parity).
+            if dual_row:
+                H = sub_q // 2
+                u0 = jnp.concatenate(
+                    [jnp.any(m[:H], axis=0, keepdims=True) for m in masks],
+                    axis=1,
+                ).astype(jnp.float32)                   # [1, 3C]
+                u1 = jnp.concatenate(
+                    [jnp.any(m[H:], axis=0, keepdims=True) for m in masks],
+                    axis=1,
+                ).astype(jnp.float32)                   # [1, 3C]
+                # Exact 0/1 union: avoids a bool select (i1 relayout).
+                u = u0 + u1 - u0 * u1                   # [1, 3C]
+                c0 = jnp.sum(u0)
+                c1 = jnp.sum(u1)
+            else:
+                u = jnp.concatenate(
+                    [jnp.any(m, axis=0, keepdims=True) for m in masks],
+                    axis=1,
+                ).astype(jnp.float32)                   # [1, 3C]
             count = jnp.sum(u)
 
-            @pl.when(count <= jnp.float32(C))
-            def _():
-                r_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (C, 1), 0
-                ).astype(jnp.float32)
-                # One-hot converted to bf16 ONCE (0/1 are exact; a
-                # direct bf16 where() hits an unsupported i1 relayout in
-                # Mosaic): the three compaction matmuls consume
-                # native-bf16 operands — bitwise-equal to DEFAULT's
-                # on-the-fly conversion and measured cost-NEUTRAL
-                # (perf/adaptive_ab.py; Mosaic was already CSE-ing the
-                # conversion across the passes).
+            def tri_rank(uv):
+                # Exclusive prefix count via triangular matmul (exact
+                # integer counts in f32): rank[r] = #union lanes before
+                # r.  DEFAULT precision is EXACT here: both operands are
+                # 0/1 (lossless in bf16) and the MXU accumulates in f32
+                # — one pass instead of HIGHEST's multi-pass
+                # decomposition.
+                return jax.lax.dot_general(
+                    uv, tri, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            def split3(wv):
+                # EXACT 3-term bf16 split: each term is EXACTLY a bf16
+                # value (successive 8-bit significand slices of the
+                # 24-bit f32 significand), so returning them AS bf16 is
+                # lossless; (hi + mid) + lo reconstructs the f32 value
+                # bitwise when each output sums one selected column.
+                hi = wv.astype(jnp.bfloat16)
+                r1 = wv - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                return hi, mid, lo
+
+            def dot_d(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            w_all = jnp.concatenate(
+                [rolled[k][:, :C] for k in range(3)], axis=1
+            )                                            # [NUM_CAND, 3C]
+            # NOTE: the transposed orientation (p_t @ w_all.T ->
+            # [C, NUM_F], full MXU M-utilization, then .T back)
+            # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
+            # transpose outweighs the M-util gain; don't retry.
+            #
+            # ONE M=24 matmul instead of three M=8 passes: an M=8
+            # matmul pays the full MXU pipeline fill for 8 rows of
+            # work (1/16 utilization); stacking hi/mid/lo along the
+            # M (feature) axis amortizes the fill 3x (measured −1.4
+            # ms/step at 1M, perf/mxfuse_ab.py).  Row slices are
+            # 8-aligned (NUM_CAND == 8) and the final sum keeps the
+            # exact (hi + mid) + lo order — bitwise-identical.
+            w3 = jnp.concatenate(split3(w_all), axis=0)  # [24, 3C]
+            ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_CAND, 1), 0)
+            sent = jnp.where(
+                (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
+                jnp.where(ri == ROW_ID, -1.0, 0.0),
+            )
+            r_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (C, 1), 0
+            ).astype(jnp.float32)
+
+            def compact_force(p_t, unfilled):
+                """Compact via the one-hot ``p_t`` [C, 3C] (bf16 0/1 —
+                a direct bf16 where() hits an unsupported i1 relayout in
+                Mosaic, so callers build f32 and astype once), blend the
+                sentinel into ``unfilled`` [1, C] lanes, and return the
+                compacted candidate plane [NUM_CAND, C]."""
+                comp3 = dot_d(w3, p_t)                       # [24, C]
+                comp = (comp3[:NUM_CAND] + comp3[NUM_CAND:2 * NUM_CAND]) \
+                    + comp3[2 * NUM_CAND:]               # [NUM_CAND, C]
+                # Unfilled lanes summed nothing (all-zero feature rows,
+                # position (0,0) — a real place): blend in the sentinel
+                # row so the pair mask kills them.
+                return comp + unfilled * sent
+
+            def shared_tier():
+                # Compacted ranks are DENSE (0..count-1), so "filled" is
+                # simply lane < count.
+                rank = tri_rank(u)                       # [1, 3C]
                 p_t = jnp.where(
                     (rank == r_iota) & (u > 0), 1.0, 0.0
                 ).astype(jnp.bfloat16)                   # [C, 3C] bf16
-                w_all = jnp.concatenate(
-                    [rolled[k][:, :C] for k in range(3)], axis=1
-                )                                        # [NUM_CAND, 3C]
-                # NOTE: the transposed orientation (p_t @ w_all.T ->
-                # [C, NUM_F], full MXU M-utilization, then .T back)
-                # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
-                # transpose outweighs the M-util gain; don't retry.
-                #
-                # EXACT 3-term bf16 split: p_t is one-hot (0/1, lossless
-                # in bf16), so only the data operand needs splitting.
-                # w = hi + mid + lo with each term exactly bf16 (8-bit
-                # significand slices of the 24-bit f32 significand);
-                # selecting one column per output lane and re-summing
-                # (hi + mid) + lo reconstructs the f32 value bitwise.
-                # 3 DEFAULT MXU passes replace HIGHEST's 6-pass two-sided
-                # decomposition at identical results.
-                def split3(wv):
-                    # Each term is EXACTLY a bf16 value (successive 8-bit
-                    # significand slices of the 24-bit f32 significand),
-                    # so returning them AS bf16 is lossless; measured
-                    # cost-neutral vs f32 terms + DEFAULT conversion
-                    # (perf/adaptive_ab.py) — kept for explicitness.
-                    hi = wv.astype(jnp.bfloat16)
-                    r1 = wv - hi.astype(jnp.float32)
-                    mid = r1.astype(jnp.bfloat16)
-                    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                    return hi, mid, lo
-
-                def dot_d(a, b):
-                    return jax.lax.dot_general(
-                        a, b, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-
-                w_hi, w_mid, w_lo = split3(w_all)
-                comp = (dot_d(w_hi, p_t) + dot_d(w_mid, p_t)) \
-                    + dot_d(w_lo, p_t)                   # [NUM_CAND, C]
-                # Unfilled lanes summed nothing (all-zero feature rows,
-                # position (0,0) — a real place): blend in the sentinel
-                # row so the mask below kills them.  Compacted ranks are
-                # DENSE (0..count-1), so "filled" is simply lane < count
-                # — no ROW_ONE compaction needed.
-                ri = jax.lax.broadcasted_iota(
-                    jnp.int32, (NUM_CAND, 1), 0
-                )
-                sent = jnp.where(
-                    (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
-                    jnp.where(ri == ROW_ID, -1.0, 0.0),
-                )
                 unfilled = jnp.where(
                     lane_iota < count.astype(jnp.int32), 0.0, 1.0
                 )                                        # [1, C]
-                comp = comp + unfilled * sent
+                comp = compact_force(p_t, unfilled)
 
                 def ccrow(r):
                     return comp[r:r + 1, :]
@@ -1034,7 +1070,113 @@ def _make_kernel(cfg: BucketConfig,
                     jnp.sum(pfy, axis=1, keepdims=True),
                 )
 
-            @pl.when(count > jnp.float32(C))
+            if not dual_row:
+                @pl.when(count <= jnp.float32(C))
+                def _():
+                    shared_tier()
+
+                @pl.when(count > jnp.float32(C))
+                def _():
+                    full_passes(masks)
+                return
+
+            # ---- dual-row tier (see the block comment above) ----------
+            H = sub_q // 2
+            SEG = C // 2
+            dual_ok = (c0 <= jnp.float32(SEG)) & (c1 <= jnp.float32(SEG))
+
+            @pl.when(dual_ok)
+            def _():
+                u2 = jnp.concatenate([u0, u1], axis=0)   # [2, 3C]
+                rank2 = tri_rank(u2)                     # [2, 3C], M=2
+                rank0 = rank2[0:1]
+                rank1 = rank2[1:2]
+                # Half A's union compacts into lanes [0, c0) and half
+                # B's into [SEG, SEG + c1); a window lane in BOTH unions
+                # gets two output lanes (each output lane still selects
+                # exactly one window lane — a valid gather matrix).
+                lt_seg = r_iota < jnp.float32(SEG)       # [C, 1]
+                p_t = jnp.where(
+                    ((rank0 == r_iota) & (u0 > 0) & lt_seg)
+                    | ((rank1 + jnp.float32(SEG) == r_iota) & (u1 > 0)),
+                    1.0, 0.0,
+                ).astype(jnp.bfloat16)                   # [C, 3C] bf16
+                li = lane_iota                           # [1, C] i32
+                filled = (
+                    (li < c0.astype(jnp.int32))
+                    | ((li >= SEG) & (li < SEG + c1.astype(jnp.int32)))
+                )
+                comp = compact_force(
+                    p_t, jnp.where(filled, 0.0, 1.0)
+                )
+
+                def ccrow(r):
+                    return comp[r:r + 1, :]
+
+                lane_lo = li < SEG                       # [1, C]
+
+                def qseg(r):
+                    # Row r serves query G0_r on lanes [0, SEG) and
+                    # G1_r on [SEG, C): select its features per half.
+                    return jnp.where(
+                        lane_lo, qblk[:H, r:r + 1], qblk[H:, r:r + 1]
+                    )                                    # [H, C]
+
+                qpx2, qpy2 = qseg(ROW_PX), qseg(ROW_PY)
+                qvx2, qvy2 = qseg(ROW_VX), qseg(ROW_VY)
+                qprio2, qeye2 = qseg(ROW_PRIO), qseg(ROW_EYE)
+                qid2 = qseg(ROW_ID)
+                if int_prio:
+                    qspx2, qspy2 = qvx2, qvy2  # unused on this path
+                else:
+                    qspx2, qspy2 = qseg(ROW_SPX), qseg(ROW_SPY)
+
+                cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
+                cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
+                cid_ = ccrow(ROW_ID)
+                d2 = (cpx_ - qpx2) ** 2 + (cpy_ - qpy2) ** 2
+                mask2 = (
+                    (d2 < qeye2 * qeye2) & (cid_ != qid2) & (cid_ >= 0)
+                )
+                ttc, _ = _pair_ttc(qvx2, qvy2, qpx2, qpy2,
+                                   cvx_, cvy_, cpx_, cpy_, radius)
+                ttc = jnp.where(mask2, ttc, inf)
+                t_a = jnp.min(jnp.where(lane_lo, ttc, inf), axis=1,
+                              keepdims=True)             # [H, 1]
+                t_b = jnp.min(jnp.where(lane_lo, inf, ttc), axis=1,
+                              keepdims=True)
+                t_seg = jnp.where(lane_lo, t_a, t_b)     # [H, C]
+                inv_a = 1.0 / jnp.where(t_a > 0, t_a, 1.0)
+                inv_b = 1.0 / jnp.where(t_b > 0, t_b, 1.0)
+                pfx, pfy = _pair_force(
+                    zp, t_seg, qpx2, qpy2, qvx2, qvy2, qspx2, qspy2,
+                    qprio2, cpx_, cpy_, cvx_, cvy_,
+                    ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
+                    int_prio=int_prio,
+                    inv_t=jnp.where(lane_lo, inv_a, inv_b),
+                )
+                zf = jnp.float32(0.0)
+                write_out(
+                    jnp.concatenate([t_a, t_b], axis=0),
+                    jnp.concatenate(
+                        [jnp.sum(jnp.where(lane_lo, pfx, zf), axis=1,
+                                 keepdims=True),
+                         jnp.sum(jnp.where(lane_lo, zf, pfx), axis=1,
+                                 keepdims=True)], axis=0),
+                    jnp.concatenate(
+                        [jnp.sum(jnp.where(lane_lo, pfy, zf), axis=1,
+                                 keepdims=True),
+                         jnp.sum(jnp.where(lane_lo, zf, pfy), axis=1,
+                                 keepdims=True)], axis=0),
+                )
+
+            not_dual = jnp.logical_not(dual_ok)
+
+            @pl.when(not_dual & (count <= jnp.float32(C)))
+            def _():
+                shared_tier()
+
+            @pl.when(not_dual & (count > jnp.float32(C)))
             def _():
                 full_passes(masks)
 
@@ -1047,7 +1189,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              interpret: bool = False,
                              compact_pass2: bool = True,
                              int_prio: bool = False,
-                             packed_T=None):
+                             packed_T=None,
+                             dual_row: bool = False):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
@@ -1060,7 +1203,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     if packed_T is None:
         packed_T = packed_t[:, :NUM_CAND].T
     kernel, q_len, w_ext, n_copies = _make_kernel(
-        cfg, compact_pass2=compact_pass2, int_prio=int_prio
+        cfg, compact_pass2=compact_pass2, int_prio=int_prio,
+        dual_row=dual_row,
     )
     n_strips = cfg.ty // cfg.strip_tiles
 
@@ -1735,7 +1879,8 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
                    spill_capacity: int = 0, presorted: bool = False,
-                   int_prio: bool = False, binning=None):
+                   int_prio: bool = False, binning=None,
+                   dual_row: bool = False):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
@@ -1770,7 +1915,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
     zparams4 = zparams5(zp)
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret, int_prio=int_prio,
-                                   packed_T=packed_T)
+                                   packed_T=packed_T, dual_row=dual_row)
     ok = (bucket_pos < cfg.slots) & alive
     # Plain row gather: with presort the indices are MONOTONE, which the
     # hardware rewards (~5.4 ms at 1M vs ~10 for random order); a Pallas
