@@ -73,6 +73,57 @@ def test_fused_matches_oracle(seed):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_dual_row_matches_oracle(seed):
+    """dual_row tier: tile-half query groups in 64-lane segments.  Same
+    addends per query as the shared tier, different reduction grouping —
+    tolerance parity vs the oracle AND (tighter) vs the shared path."""
+    n = 160
+    world = 24.0
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    scene = random_scene(seed, n, world, 3.0)
+    pos, vel, self_pref, pref_c, prio, eye, alive, rec = scene
+    got_d, occ, _ = zanlungo_fused(
+        cfg, zp, pos, vel, self_pref, pref_c, prio, eye, alive, rec,
+        interpret=True, spill_capacity=32, dual_row=True)
+    got_s, _, _ = zanlungo_fused(
+        cfg, zp, pos, vel, self_pref, pref_c, prio, eye, alive, rec,
+        interpret=True, spill_capacity=32, dual_row=False)
+    want = oracle(zp, scene)
+    a = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(got_d)[a], np.asarray(want)[a],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_d)[a], np.asarray(got_s)[a],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dual_row_overflow_tiers():
+    """Density tuned so half-unions exceed the 64-lane segment (dual
+    falls back to the shared tier) without bucket overflow: the mixed
+    dual/shared execution must still match the oracle."""
+    rng = np.random.default_rng(7)
+    world = 30.0
+    n = 630  # ~0.7 agents/m^2 -> half-union ~95 in (64, 128]
+    pos = jnp.asarray(rng.uniform(0.0, world, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    prio = jnp.asarray(rng.permutation(n).astype(np.float32))
+    eye = jnp.full((n,), 3.0, jnp.float32)
+    alive = jnp.ones((n,), bool)
+    rec = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    cfg = BucketConfig.create(world, world, (0.0, 0.0), 3.0,
+                              bucket=16, strip_tiles=6, sub_tiles=6)
+    zp = make_params()
+    got, occ, dropped = zanlungo_fused(
+        cfg, zp, pos, vel, vel, vel, prio, eye, alive, rec,
+        interpret=True, spill_capacity=64, dual_row=True)
+    assert int(dropped) == 0
+    want = oracle(zp, (pos, vel, vel, vel, prio, eye, alive, rec))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_fused_under_jit():
     n = 64
     world = 16.0
