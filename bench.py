@@ -67,6 +67,10 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # kernel may drop the right-of-way sqrt + slerp asin/sin
         # (ops/zanlungo_pallas._pair_force int_prio).
         integer_priorities=(backend == "grid_pallas"),
+        # Dual-row compacted tier: ~99.9% of sub-blocks fit two 64-lane
+        # half-unions at this density (perf/dualrow_ab.py: 44.0 vs 45.4
+        # ms kernel-only at 1M); tolerance-level output differences.
+        dual_row=(backend == "grid_pallas"),
         dtype=dtype,
     )
 

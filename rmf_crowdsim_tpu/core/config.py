@@ -144,6 +144,15 @@ class SimConfig:
     # (core/simulation.py).  Leave False if agents get fractional
     # priorities.
     integer_priorities: bool = False
+    # Dual-row compacted tier (grid_pallas backend): when a sub-block's
+    # two tile-contiguous query half-groups each fit a 64-lane candidate
+    # union, compact them into the two halves of the 128-lane plane and
+    # run the force/TTC math on half the rows (two queries per row).  At
+    # walking densities ~99.9% of sub-blocks qualify (perf/dualrow_ab.py).
+    # Per-query force sums hold the same addends as the shared tier but
+    # the reduction tree groups them differently — tolerance-level (ULP)
+    # differences only, like integer_priorities.
+    dual_row: bool = False
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation

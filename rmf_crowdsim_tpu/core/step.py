@@ -590,6 +590,7 @@ def build_step(
                         presorted=presort,
                         int_prio=getattr(config, "integer_priorities",
                                          False),
+                        dual_row=getattr(config, "dual_row", False),
                         binning=binning,
                     )
                     max_occ = jnp.maximum(max_occ, occ)

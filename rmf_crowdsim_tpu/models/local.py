@@ -409,7 +409,7 @@ class Zanlungo(LocalPlanner):
                    self_pref, interpret: bool = False, world_mesh=None,
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
                    presorted: bool = False, int_prio: bool = False,
-                   binning=None):
+                   dual_row: bool = False, binning=None):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -432,7 +432,7 @@ class Zanlungo(LocalPlanner):
                 world_mesh, bucket_cfg, params, state.position,
                 state.velocity, self_pref, state.preferred_vel,
                 state.priority, state.eyesight, state.alive, rec_vel,
-                interpret=interpret, int_prio=int_prio,
+                interpret=interpret, int_prio=int_prio, dual_row=dual_row,
             )
         from ..ops.zanlungo_pallas import zanlungo_fused
 
@@ -441,5 +441,5 @@ class Zanlungo(LocalPlanner):
             state.preferred_vel, state.priority, state.eyesight, state.alive,
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
             spill_capacity=spill_capacity, presorted=presorted,
-            int_prio=int_prio, binning=binning,
+            int_prio=int_prio, dual_row=dual_row, binning=binning,
         )

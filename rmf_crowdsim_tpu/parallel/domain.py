@@ -42,7 +42,8 @@ def _sentinel_block(col_slots: int):
 
 
 def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
-                          interpret: bool = False, int_prio: bool = False):
+                          interpret: bool = False, int_prio: bool = False,
+                          dual_row: bool = False):
     """Run the fused force kernel with the world sharded over
     ``mesh[WORLD_AXIS]``.  ``cfg.tx`` must divide by the mesh size.
     Returns [slots, 2] velocities (sharded over slots)."""
@@ -72,7 +73,8 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
         ext = jnp.concatenate([left, block, right], axis=0)
         out_ext = zanlungo_forces_bucketed(local_cfg, z4, ext,
                                            interpret=interpret,
-                                           int_prio=int_prio)
+                                           int_prio=int_prio,
+                                           dual_row=dual_row)
         # Drop the halo columns' (wasted) query outputs.
         return out_ext[col_slots:col_slots + cols_per * col_slots]
 
@@ -89,7 +91,7 @@ def forces_domain_sharded(mesh: Mesh, cfg: BucketConfig, zparams4, packed_t,
 def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
                           velocity, self_pref, pref_committed, priority,
                           eyesight, alive, rec_vel, interpret: bool = False,
-                          int_prio: bool = False):
+                          int_prio: bool = False, dual_row: bool = False):
     """Domain-sharded version of ops.zanlungo_pallas.zanlungo_fused: same
     signature + mesh; same results."""
     dtype = position.dtype
@@ -102,7 +104,7 @@ def zanlungo_fused_domain(mesh: Mesh, cfg: BucketConfig, zp, position,
     )
     zparams4 = zparams5(zp)
     out = forces_domain_sharded(mesh, cfg, zparams4, packed_t,
-                                int_prio=int_prio,
+                                int_prio=int_prio, dual_row=dual_row,
                                 interpret=interpret)
     safe = jnp.clip(bucket_pos, 0, cfg.slots - 1)
     ok = (bucket_pos < cfg.slots) & alive

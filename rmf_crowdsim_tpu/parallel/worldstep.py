@@ -394,6 +394,7 @@ def build_world_step(
         out = zanlungo_forces_bucketed(
             ext_cfg, zp, packed, interpret=config.pallas_interpret,
             int_prio=getattr(config, "integer_priorities", False),
+            dual_row=getattr(config, "dual_row", False),
         )
 
         if use_spills:

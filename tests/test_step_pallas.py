@@ -15,7 +15,7 @@ from rmf_crowdsim_tpu import (
 )
 
 
-def build(backend):
+def build(backend, dual_row=False):
     cfg = SimConfig(
         capacity=48,
         grid=GridConfig(width=24.0, height=24.0, cell_size=2.0,
@@ -26,6 +26,7 @@ def build(backend):
         bucket_capacity=16,
         strip_tiles=6,
         sub_tiles=6,
+        dual_row=dual_row,
         pallas_interpret=True,
         dtype="float32",
     )
@@ -46,9 +47,10 @@ def build(backend):
     return sim
 
 
-def test_grid_pallas_matches_grid_trajectories():
+@pytest.mark.parametrize("dual_row", [False, True])
+def test_grid_pallas_matches_grid_trajectories(dual_row):
     sim_a = build("grid")
-    sim_b = build("grid_pallas")
+    sim_b = build("grid_pallas", dual_row=dual_row)
     for step in range(10):
         sim_a.step(0.1)
         sim_b.step(0.1)
