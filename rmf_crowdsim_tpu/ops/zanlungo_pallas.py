@@ -840,36 +840,87 @@ def _make_kernel(cfg: BucketConfig,
 
             inf = jnp.float32(jnp.inf)
 
+            def lane_ok_k(k):
+                # World-edge clipping may shift the window into a
+                # neighboring column; only candidates from column
+                # px+k-1 are real (also masks out-of-world columns).
+                cid_ = crow(k, ROW_ID)
+                cand_slot = g_cls[k] + lane_iota
+                lo = (px + (k - 1)) * col_slots
+                return (
+                    (cand_slot >= lo) & (cand_slot < lo + col_slots)
+                    & (cid_ >= 0)
+                )                                    # [1, C]
+
+            lane_oks = [lane_ok_k(k) for k in range(3)]
+
             def window_masks():
-                """Cheap full-width pass: candidate masks per window (the
-                ~10-op distance/id/column math only — the expensive TTC
-                quadratic runs on compacted lanes below, or in the
-                fallback)."""
+                """Full-width candidate masks per window — FALLBACK-only
+                (union overflow): the compacted tiers never pay the
+                [sub_q, 3C] distance pass; their unions come from the
+                [1, 3C] bbox test below and exact per-pair masks are
+                recomputed on the compacted lanes."""
                 masks = []
                 for k in range(3):
                     cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
                     cid_ = crow(k, ROW_ID)
-                    # World-edge clipping may shift the window into a
-                    # neighboring column; only candidates from column
-                    # px+k-1 are real (also masks out-of-world columns).
-                    cand_slot = g_cls[k] + lane_iota
-                    lo = (px + (k - 1)) * col_slots
-                    # Fold the two per-LANE terms ([1, C]) before the
-                    # broadcast against the [Q, C] terms — one fewer
-                    # full-width AND per window.
-                    lane_ok = (
-                        (cand_slot >= lo) & (cand_slot < lo + col_slots)
-                        & (cid_ >= 0)
-                    )
                     dx = cpx_ - qpx_
                     dy = cpy_ - qpy_
                     dist2 = dx * dx + dy * dy
                     masks.append(
                         (dist2 < qeye_ * qeye_)
                         & (cid_ != qid_)
-                        & lane_ok
+                        & lane_oks[k]
                     )
                 return masks
+
+            def bbox_union(q_sl):
+                """Candidate-union SUPERSET for the query rows ``q_sl``
+                (a static slice) at [1, 3C] cost instead of the exact
+                union's [len(q_sl), 3C] mask pass: a candidate within
+                strict eyesight of SOME live query is within max-eyesight
+                of the live queries' bounding box (dist(c, bbox) <=
+                dist(c, q) for every q in the bbox).  The superset only
+                widens the compacted plane (queries keep exact per-pair
+                masks there) and can tip a near-full union into the
+                full-width fallback — exact either way.  At bench
+                density the dilated-bbox set ~= the exact union anyway
+                (queries fill their tiles ~uniformly)."""
+                live = qid_[q_sl] >= 0               # [h, 1]
+                big = jnp.float32(1e30)
+
+                def mn(v):
+                    # keepdims: the [1, 1] result broadcasts into the
+                    # [1, C] compares below as a vector op — a reduction
+                    # to a true scalar would round-trip through an sreg.
+                    return jnp.min(v, axis=0, keepdims=True)
+
+                def mx(v):
+                    return jnp.max(
+                        jnp.where(live, v, -big), axis=0, keepdims=True
+                    )
+
+                # Dead query slots hold the position sentinel (+1e30),
+                # which min() ignores for free; max needs the live select.
+                lo_x, hi_x = mn(qpx_[q_sl]), mx(qpx_[q_sl])
+                lo_y, hi_y = mn(qpy_[q_sl]), mx(qpy_[q_sl])
+                # Dead slots carry eyesight 0 — max() is naturally safe.
+                eye = jnp.max(qeye_[q_sl], axis=0, keepdims=True)
+                eye2 = eye * eye
+                parts = []
+                for k in range(3):
+                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                    dx = jnp.maximum(
+                        jnp.maximum(lo_x - cpx_, cpx_ - hi_x), 0.0
+                    )
+                    dy = jnp.maximum(
+                        jnp.maximum(lo_y - cpy_, cpy_ - hi_y), 0.0
+                    )
+                    parts.append(jnp.where(
+                        lane_oks[k] & (dx * dx + dy * dy < eye2),
+                        1.0, 0.0,
+                    ))
+                return jnp.concatenate(parts, axis=1)  # [1, 3C] f32 0/1
 
             def write_out(t_i, fx, fy):
                 # Forces apply only when some neighbor has finite TTC
@@ -883,9 +934,10 @@ def _make_kernel(cfg: BucketConfig,
                 out_ref[pl.ds(q0, sub_q), 0:1] = out_x
                 out_ref[pl.ds(q0, sub_q), 1:2] = out_y
 
-            def full_passes(masks):
+            def full_passes():
                 # ---- full-width TTC (zanlungo.rs:76-91) + force
                 # accumulation (zanlungo.rs:201-218) over the 3 windows.
+                masks = window_masks()
                 t_i = jnp.full((sub_q, 1), inf, jnp.float32)
                 for k in range(3):
                     cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
@@ -912,10 +964,8 @@ def _make_kernel(cfg: BucketConfig,
                     fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
                 write_out(t_i, fx, fy)
 
-            masks = window_masks()
-
             if not compact_pass2:
-                full_passes(masks)
+                full_passes()
                 return
 
             # ---- COMPACTED passes: the ~8 true neighbors per query are
@@ -931,34 +981,26 @@ def _make_kernel(cfg: BucketConfig,
             # ``dual_row`` adds a third, narrower tier that runs FIRST
             # when it fits: the sub-block's two query half-groups (tile-
             # contiguous, so each half's candidate union is one dilated-
-            # tile footprint instead of two) are compacted into the two
-            # 64-lane HALVES of the same C-lane plane, and the pair math
-            # runs on [sub_q/2, C] rows serving TWO queries each (query
-            # features selected per lane half) — half the force/TTC
-            # width.  Candidates within eyesight of both halves are
-            # duplicated into both segments (their pair masks need them);
-            # per-query sums therefore hold the same addends, though the
-            # reduction tree groups them differently (ULP-level vs the
-            # shared path — tolerance-tested, like oracle parity).
+            # tile footprint instead of two) are compacted into two
+            # dynamically-split SEGMENTS ([0, c0) and [c0, c0 + c1)) of
+            # the same C-lane plane, and the pair math runs on
+            # [sub_q/2, C] rows serving TWO queries each (query features
+            # selected per lane segment) — half the force/TTC width.
+            # Candidates within eyesight of both halves are duplicated
+            # into both segments (their pair masks need them); per-query
+            # sums therefore hold the same addends, though the reduction
+            # tree groups them differently (ULP-level vs the shared path
+            # — tolerance-tested, like oracle parity).
             if dual_row:
                 H = sub_q // 2
-                u0 = jnp.concatenate(
-                    [jnp.any(m[:H], axis=0, keepdims=True) for m in masks],
-                    axis=1,
-                ).astype(jnp.float32)                   # [1, 3C]
-                u1 = jnp.concatenate(
-                    [jnp.any(m[H:], axis=0, keepdims=True) for m in masks],
-                    axis=1,
-                ).astype(jnp.float32)                   # [1, 3C]
+                u0 = bbox_union(slice(0, H))            # [1, 3C]
+                u1 = bbox_union(slice(H, sub_q))        # [1, 3C]
                 # Exact 0/1 union: avoids a bool select (i1 relayout).
                 u = u0 + u1 - u0 * u1                   # [1, 3C]
                 c0 = jnp.sum(u0)
                 c1 = jnp.sum(u1)
             else:
-                u = jnp.concatenate(
-                    [jnp.any(m, axis=0, keepdims=True) for m in masks],
-                    axis=1,
-                ).astype(jnp.float32)                   # [1, 3C]
+                u = bbox_union(slice(0, sub_q))         # [1, 3C]
             count = jnp.sum(u)
 
             def tri_rank(uv):
@@ -1036,8 +1078,13 @@ def _make_kernel(cfg: BucketConfig,
                 # Compacted ranks are DENSE (0..count-1), so "filled" is
                 # simply lane < count.
                 rank = tri_rank(u)                       # [1, 3C]
+                # Prefold the union test into the rank row ([1, 3C]):
+                # non-union lanes get rank -1, which no output lane's
+                # r_iota (>= 0) matches — one [C, 3C] compare instead of
+                # compare + compare + AND.
+                rank_m = jnp.where(u > 0, rank, -1.0)    # [1, 3C]
                 p_t = jnp.where(
-                    (rank == r_iota) & (u > 0), 1.0, 0.0
+                    rank_m == r_iota, 1.0, 0.0
                 ).astype(jnp.bfloat16)                   # [C, 3C] bf16
                 unfilled = jnp.where(
                     lane_iota < count.astype(jnp.int32), 0.0, 1.0
@@ -1077,13 +1124,21 @@ def _make_kernel(cfg: BucketConfig,
 
                 @pl.when(count > jnp.float32(C))
                 def _():
-                    full_passes(masks)
+                    full_passes()
                 return
 
             # ---- dual-row tier (see the block comment above) ----------
+            # DYNAMIC segment boundary: half A's union compacts into
+            # lanes [0, c0), half B's into [c0, c0 + c1) — the tier
+            # applies whenever the halves fit the plane TOGETHER
+            # (c0 + c1 <= C), not per-half (c0, c1 <= C/2): boundary-
+            # band candidates live in both unions (duplicated into both
+            # segments, so each output lane still selects exactly one
+            # window lane — a valid gather matrix), and the fixed-half
+            # split wasted the slack one roomy half could lend a tight
+            # one.
             H = sub_q // 2
-            SEG = C // 2
-            dual_ok = (c0 <= jnp.float32(SEG)) & (c1 <= jnp.float32(SEG))
+            dual_ok = (c0 + c1) <= jnp.float32(C)
 
             @pl.when(dual_ok)
             def _():
@@ -1091,21 +1146,18 @@ def _make_kernel(cfg: BucketConfig,
                 rank2 = tri_rank(u2)                     # [2, 3C], M=2
                 rank0 = rank2[0:1]
                 rank1 = rank2[1:2]
-                # Half A's union compacts into lanes [0, c0) and half
-                # B's into [SEG, SEG + c1); a window lane in BOTH unions
-                # gets two output lanes (each output lane still selects
-                # exactly one window lane — a valid gather matrix).
-                lt_seg = r_iota < jnp.float32(SEG)       # [C, 1]
+                # Prefolded rank rows ([1, 3C]): non-union lanes -> -1
+                # (matches no r_iota >= 0); rank0 < c0 <= the rank1 + c0
+                # offsets whenever this tier is TAKEN, so the two
+                # compares select disjoint output-lane ranges — two
+                # [C, 3C] compares + OR replace the five-op guard chain.
+                rk0 = jnp.where(u0 > 0, rank0, -1.0)     # [1, 3C]
+                rk1 = jnp.where(u1 > 0, rank1 + c0, -1.0)
                 p_t = jnp.where(
-                    ((rank0 == r_iota) & (u0 > 0) & lt_seg)
-                    | ((rank1 + jnp.float32(SEG) == r_iota) & (u1 > 0)),
-                    1.0, 0.0,
+                    (rk0 == r_iota) | (rk1 == r_iota), 1.0, 0.0,
                 ).astype(jnp.bfloat16)                   # [C, 3C] bf16
                 li = lane_iota                           # [1, C] i32
-                filled = (
-                    (li < c0.astype(jnp.int32))
-                    | ((li >= SEG) & (li < SEG + c1.astype(jnp.int32)))
-                )
+                filled = li < (c0 + c1).astype(jnp.int32)
                 comp = compact_force(
                     p_t, jnp.where(filled, 0.0, 1.0)
                 )
@@ -1113,11 +1165,11 @@ def _make_kernel(cfg: BucketConfig,
                 def ccrow(r):
                     return comp[r:r + 1, :]
 
-                lane_lo = li < SEG                       # [1, C]
+                lane_lo = li < c0.astype(jnp.int32)      # [1, C]
 
                 def qseg(r):
-                    # Row r serves query G0_r on lanes [0, SEG) and
-                    # G1_r on [SEG, C): select its features per half.
+                    # Row r serves query G0_r on lanes [0, c0) and
+                    # G1_r on [c0, C): select its features per half.
                     return jnp.where(
                         lane_lo, qblk[:H, r:r + 1], qblk[H:, r:r + 1]
                     )                                    # [H, C]
@@ -1178,7 +1230,7 @@ def _make_kernel(cfg: BucketConfig,
 
             @pl.when(not_dual & (count > jnp.float32(C)))
             def _():
-                full_passes(masks)
+                full_passes()
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
 
