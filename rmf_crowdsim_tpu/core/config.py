@@ -153,6 +153,18 @@ class SimConfig:
     # the reduction tree groups them differently — tolerance-level (ULP)
     # differences only, like integer_priorities.
     dual_row: bool = False
+    # Slot-resident rollout (core/resident.py): between rebins the
+    # scanned rollout keeps the SoA state IN the bucket layout (capacity
+    # == slots, row r IS bucket slot r's agent), so the per-step pack
+    # (~7.8 ms at 1M) and unbucketize gather (~3-7 ms) vanish — the
+    # packed planes are elementwise stacks and the kernel output is the
+    # per-agent velocity.  Rebins (spawn, or an agent outrunning the
+    # skin margin) run a double sort.  Falls back silently to the
+    # standard rollout when unsupported (see resident_supported: needs
+    # grid_pallas + presort, slots >= capacity, fused-capable local
+    # planners).  Affects build_rollout only; single-step build_step is
+    # unchanged.  Same tolerance class as presort (f32 sum order).
+    resident: bool = False
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation

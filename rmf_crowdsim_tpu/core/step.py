@@ -64,7 +64,8 @@ class SimParams:
     sources: Optional[SourceParams]
 
 
-def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
+def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt,
+                 key, max_alive: Optional[int] = None):
     """Phase A (lib.rs:199-254): per active source, ask its generator for a
     count; if positive and no alive agent sits strictly within
     ``spawn_clearance`` of the source (hard-coded 0.4 in the reference,
@@ -76,8 +77,15 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     first read-only map pass (lib.rs:199-222, the first ``collect()``),
     and only then inserts the new agents in a second pass (lib.rs:224-234
     → add_agents → lib.rs:146).  A same-step spawn from one source can
-    therefore never block a co-located source; both spawn."""
-    n = config.capacity
+    therefore never block a co-located source; both spawn.
+
+    ``max_alive``: optional population cap BELOW the array capacity — the
+    resident rollout (core/resident.py) runs this phase on a
+    slots-capacity state but must honor the public ``config.capacity``
+    contract (spawns beyond it are dropped, exactly as a full
+    capacity-N state drops them)."""
+    n = state.capacity  # NOT config.capacity: the resident rollout runs
+    # this phase on a slots-capacity state (core/resident.py).
     f = config.jdtype
     s = sp.source.shape[0]
 
@@ -129,6 +137,13 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt, key):
     # Slot allocation: k-th spawning source takes the k-th free slot.
     free = ~state.alive
     n_free = jnp.sum(free.astype(jnp.int32))
+    if max_alive is not None:
+        budget = jnp.maximum(
+            jnp.int32(max_alive)
+            - jnp.sum(state.alive.astype(jnp.int32)),
+            0,
+        )
+        n_free = jnp.minimum(n_free, budget)
     slot_of_rank = jnp.sort(
         jnp.where(free, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     )  # ascending free-slot indices, padded with n
@@ -667,6 +682,42 @@ def _compact_events(mask, uid, k: int, pos=None):
     return uid_k, pos_k, c.n_over
 
 
+def emit_rollout_record(ev: StepEvents, st: SimState, k: int):
+    """Per-step scan output shared by the standard and resident rollouts:
+    :class:`RolloutCounters` when ``k`` == 0, else an :class:`EventStream`
+    row (compact per-uid records, up to ``k`` per kind)."""
+    c = RolloutCounters(
+        n_alive=st.num_alive,
+        n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
+        n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
+        n_waypoint_reached=jnp.sum(ev.waypoint_reached.astype(jnp.int32)),
+        spawn_dropped=ev.spawn_dropped,
+        out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
+        max_cell_occupancy=ev.max_cell_occupancy,
+        neighbor_truncated=ev.neighbor_truncated,
+    )
+    if k == 0:
+        return c
+    # uids: spawned/reached agents are alive with their uid in
+    # post-step state; destroyed uids come from the event record.
+    s_uid, s_pos, s_drop = _compact_events(
+        ev.spawned, st.uid, k, ev.spawn_position
+    )
+    d_uid, _, d_drop = _compact_events(ev.destroyed, ev.destroyed_uid, k)
+    r_uid, r_pos, r_drop = _compact_events(
+        ev.waypoint_reached, st.uid, k, ev.waypoint_position
+    )
+    return EventStream(
+        spawned_uid=s_uid,
+        spawned_pos=s_pos,
+        destroyed_uid=d_uid,
+        reached_uid=r_uid,
+        reached_pos=r_pos,
+        overflow=s_drop + d_drop + r_drop,
+        counters=c,
+    )
+
+
 def build_rollout(
     config: SimConfig,
     hl_planners: Sequence[Any],
@@ -689,7 +740,23 @@ def build_rollout(
     presort (see :func:`build_step`): the scan carries the last sort's
     order/binning and only resorts when an agent outruns the skin margin
     or the population changes — on slow-moving scenes the per-step
-    sort + rank amortizes away."""
+    sort + rank amortizes away.
+
+    With ``config.resident`` the SLOT-RESIDENT engine (core/resident.py)
+    is used instead when the configuration supports it (check the
+    returned function's ``engine`` attribute): the scan keeps the state
+    in the bucket layout between rebins, eliminating the per-step
+    pack/unbucketize round-trip entirely."""
+    if getattr(config, "resident", False):
+        from .resident import build_resident_rollout, resident_supported
+
+        ok, _why = resident_supported(
+            config, hl_planners, lp_planners, neighbor_fn
+        )
+        if ok:
+            return build_resident_rollout(
+                config, hl_planners, lp_planners, event_capacity
+            )
     step = build_step(config, hl_planners, lp_planners,
                       neighbor_fn=neighbor_fn, skin_mode=True)
     uses_skin = bool(getattr(step, "skin_mode", False))
@@ -716,37 +783,8 @@ def build_rollout(
             else:
                 st = carry
                 st, ev = step(params, st, dt)
-            c = RolloutCounters(
-                n_alive=st.num_alive,
-                n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
-                n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
-                n_waypoint_reached=jnp.sum(ev.waypoint_reached.astype(jnp.int32)),
-                spawn_dropped=ev.spawn_dropped,
-                out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
-                max_cell_occupancy=ev.max_cell_occupancy,
-                neighbor_truncated=ev.neighbor_truncated,
-            )
             out_carry = (st, sk) if uses_skin else st
-            if k == 0:
-                return out_carry, c
-            # uids: spawned/reached agents are alive with their uid in
-            # post-step state; destroyed uids come from the event record.
-            s_uid, s_pos, s_drop = _compact_events(
-                ev.spawned, st.uid, k, ev.spawn_position
-            )
-            d_uid, _, d_drop = _compact_events(ev.destroyed, ev.destroyed_uid, k)
-            r_uid, r_pos, r_drop = _compact_events(
-                ev.waypoint_reached, st.uid, k, ev.waypoint_position
-            )
-            return out_carry, EventStream(
-                spawned_uid=s_uid,
-                spawned_pos=s_pos,
-                destroyed_uid=d_uid,
-                reached_uid=r_uid,
-                reached_pos=r_pos,
-                overflow=s_drop + d_drop + r_drop,
-                counters=c,
-            )
+            return out_carry, emit_rollout_record(ev, st, k)
 
         carry0 = (state, skin0) if uses_skin else state
         carry, ys = jax.lax.scan(body, carry0, None, length=n_steps)
@@ -754,4 +792,5 @@ def build_rollout(
             carry = carry[0]
         return carry, ys
 
+    rollout.engine = "standard"
     return rollout

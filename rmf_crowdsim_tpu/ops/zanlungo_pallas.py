@@ -1927,6 +1927,85 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
     return out, q_id_full, q_slots
 
 
+def zanlungo_fused_resident(cfg: BucketConfig, zp, position, velocity,
+                            self_pref, pref_committed, priority, eyesight,
+                            alive, rec_vel, in_bucket, tile_xy,
+                            interpret: bool = False, int_prio: bool = False,
+                            dual_row: bool = False,
+                            spill_capacity: int = 0):
+    """Fused force pass for SLOT-RESIDENT state (core/resident.py).
+
+    The caller keeps its SoA state at capacity ``cfg.slots`` with the
+    invariant that row ``r`` either IS bucket slot ``r``'s agent
+    (``in_bucket[r]``, placed there by the last rebin's double sort) or
+    is a parked/dead row.  The packed planes are then pure elementwise
+    masking + feature stacks of the state columns — no rank, no pack
+    gather — and the kernel output IS the per-agent velocity — no
+    unbucketize gather.  Parked alive agents (bucket overflow at the
+    last rebin) are repaired exactly by :func:`spill_patch`, identically
+    to the standard engine's overflow handling.
+
+    ``tile_xy``: (tcx [R], tcy [R]) int32 — each row's tile AT THE LAST
+    REBIN (the binning the plane layout encodes).  Spill windows must
+    center there, not on fresh positions (the skin bound keeps true
+    neighbors inside the stale window — core/step.py skin_mode).
+
+    Returns (vel [R, 2] in ``position.dtype``, dropped [] int32 — spills
+    beyond ``spill_capacity``; with ``spill_capacity`` == 0, all parked
+    alive agents, which then keep ``rec_vel`` — the same loud truncation
+    contract as :func:`zanlungo_fused`).
+    """
+    r_cap = position.shape[0]
+    assert r_cap == cfg.slots, "resident state capacity must equal slots"
+    dtype = position.dtype
+    f32 = jnp.float32
+    live = in_bucket & alive
+    sent = jnp.float32(_POS_SENTINEL)
+    zero = jnp.zeros((r_cap,), f32)
+
+    def m(col, fill=0.0):
+        return jnp.where(live, col.astype(f32), jnp.float32(fill))
+
+    px = m(position[:, 0], sent)
+    py = m(position[:, 1], sent)
+    vx, vy = m(velocity[:, 0]), m(velocity[:, 1])
+    fx, fy = m(pref_committed[:, 0]), m(pref_committed[:, 1])
+    prio = m(priority)
+    ids = m(jnp.arange(r_cap, dtype=f32), -1.0)
+    # Candidate plane [NUM_CAND, r_cap]: axis-0 stack of 1-D rows — no
+    # cross-axis relayout (same argument as bucketize's feat_t stack).
+    packed_T = jnp.stack([px, py, vx, vy, fx, fy, prio, ids], axis=0)
+    # Query plane [r_cap, NUM_F]: the column stack measured ~1 ms at 1M
+    # (perf/transpose_probe.py — the WRITE direction is cheap; it is the
+    # [slots, 16] -> [8, slots] READ transpose that costs ~9 ms).
+    packed_t = jnp.stack(
+        [px, py, vx, vy, fx, fy, prio, ids,
+         m(rec_vel[:, 0]), m(rec_vel[:, 1]), m(eyesight),
+         m(self_pref[:, 0]), m(self_pref[:, 1]),
+         zero, zero, jnp.where(live, 1.0, 0.0)],
+        axis=-1,
+    )
+    out = zanlungo_forces_bucketed(
+        cfg, zparams5(zp), packed_t, interpret=interpret,
+        int_prio=int_prio, packed_T=packed_T, dual_row=dual_row,
+    )
+    vel = jnp.where(live[:, None], out.astype(dtype), rec_vel)
+    if spill_capacity > 0:
+        bucket_pos = jnp.where(
+            live, jnp.arange(r_cap, dtype=jnp.int32), jnp.int32(cfg.slots)
+        )
+        vel, unresolved = spill_patch(
+            cfg, zp, position, velocity, self_pref, pref_committed,
+            priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
+            spill_capacity, interpret=interpret, int_prio=int_prio,
+            packed_T=packed_T, tile_xy=tile_xy,
+        )
+        dropped = unresolved.astype(jnp.int32)
+    else:
+        dropped = jnp.sum((alive & ~in_bucket).astype(jnp.int32))
+    return vel, dropped
+
+
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    pref_committed, priority, eyesight, alive, rec_vel,
                    interpret: bool = False, use_pack_kernel: bool = False,
