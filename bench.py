@@ -71,6 +71,11 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # half-unions at this density (perf/dualrow_ab.py: 44.0 vs 45.4
         # ms kernel-only at 1M); tolerance-level output differences.
         dual_row=(backend == "grid_pallas"),
+        # Slot-resident rollout (core/resident.py): no per-step pack /
+        # unbucketize — the state lives in the bucket layout between
+        # rebins (bench agents walk ~1.7 cm/step against a 1.65 m skin
+        # margin, so rebins are ~free).
+        resident=(backend == "grid_pallas"),
         dtype=dtype,
     )
 
