@@ -71,11 +71,13 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # half-unions at this density (perf/dualrow_ab.py: 44.0 vs 45.4
         # ms kernel-only at 1M); tolerance-level output differences.
         dual_row=(backend == "grid_pallas"),
-        # Slot-resident rollout (core/resident.py): no per-step pack /
-        # unbucketize — the state lives in the bucket layout between
-        # rebins (bench agents walk ~1.7 cm/step against a 1.65 m skin
-        # margin, so rebins are ~free).
-        resident=(backend == "grid_pallas"),
+        # Slot-resident rollout (core/resident.py) is OFF: measured a
+        # LOSER on this scene — 9.81 steps/s at 1M vs the general
+        # engine's 17.84 (p50 102 vs 56 ms; DESIGN_NOTES "resident
+        # engine" ledger).  The rowmajor transpose + fresh-tile spill
+        # recompute it pays every step exceed the pack/unbucketize work
+        # it avoids.  Kept as an engine option for churn-free scenes.
+        resident=False,
         dtype=dtype,
     )
 

@@ -102,7 +102,13 @@ def resident_supported(config: SimConfig, hl_planners, lp_planners,
             f"slots ({bcfg.slots}) < capacity ({config.capacity}): the "
             "resident layout cannot park every agent"
         )
-    if config.spill_capacity > 0 and (bcfg.tx < 5 or bcfg.ty < 5):
+    if config.spill_capacity <= 0:
+        return False, (
+            "resident engine requires spill_capacity > 0 (parked "
+            "overflow agents and skin-breach evictees ride the exact "
+            "spill patch)"
+        )
+    if bcfg.tx < 5 or bcfg.ty < 5:
         return False, "spill machinery needs a >= 5x5-tile world"
     for p in lp_planners:
         if not (hasattr(p, "plan_fused")
@@ -176,6 +182,10 @@ def build_resident_rollout(
     f = config.jdtype
     int_prio = bool(getattr(config, "integer_priorities", False))
     dual_row = bool(getattr(config, "dual_row", False))
+    # Global-rebin pressure threshold: rebin before the parked set
+    # (bucket overflow + skin-breach evictees) can overrun the spill
+    # tiers (beyond which agents would be truncated, loudly).
+    parked_cap = max(1, (3 * config.spill_capacity) // 4)
 
     def _rebin(state: SimState, spawned):
         """Double-sort rebin: tile-sort, rank, then place every row at an
@@ -230,17 +240,32 @@ def build_resident_rollout(
             spawned = jnp.zeros((r_cap,), jnp.bool_)
             spawn_dropped = jnp.zeros((), jnp.int32)
 
-        # ---- Rebin or reuse the resident layout ------------------------
-        # Unlike the skin engine, despawns do NOT invalidate: the plane
-        # build masks by the live alive column every step.
+        # ---- Rebin, or evict skin-breachers and reuse the layout -------
+        # Unlike the skin engine, (a) despawns do NOT invalidate (the
+        # plane build masks by the live alive column every step) and (b)
+        # an agent outrunning the skin margin does NOT force a global
+        # resort: it is EVICTED to the parked set, where the spill patch
+        # recomputes it and everyone it affects exactly.  Exactness of
+        # fresh-tile spill windows for arbitrary breacher drift: an
+        # affected query A has |A_ref - B_fresh| <= eye + margin =
+        # (eye + tile)/2 < tile (inside the 3x3), and A's candidate C
+        # has |C_ref - B_fresh| <= 2*eye + margin < 2*tile (inside the
+        # 5x5) — both need only the NON-evicted agents' skin bound,
+        # which eviction itself maintains.  A GLOBAL rebin fires only on
+        # spawns, or when the parked set (overflow + evictees) would
+        # pressure the spill capacity — including the coherent case
+        # where a whole drifting crowd breaches in one step.
         d = jnp.abs(state.position - skin["ref"])
-        disp = jnp.max(
-            jnp.where(state.alive[:, None], d, jnp.zeros((), f))
+        breach = (
+            state.alive & skin["in_bucket"]
+            & (jnp.max(d, axis=-1) > jnp.asarray(margin, f))
         )
+        parked = state.alive & ~skin["in_bucket"]
+        n_risk = jnp.sum((parked | breach).astype(jnp.int32))
         need = (
             (~skin["valid"])
             | jnp.any(spawned)
-            | (disp > jnp.asarray(margin, f))
+            | (n_risk > jnp.int32(parked_cap))
         )
 
         def _do(op):
@@ -248,8 +273,8 @@ def build_resident_rollout(
 
         def _reuse(op):
             st, spwn = op
-            return (st, spwn, skin["in_bucket"], skin["max_occ"],
-                    skin["ref"])
+            return (st, spwn, skin["in_bucket"] & ~breach,
+                    skin["max_occ"], skin["ref"])
 
         state, spawned, in_bucket, max_occ, ref = jax.lax.cond(
             need, _do, _reuse, (state, spawned)
@@ -260,20 +285,18 @@ def build_resident_rollout(
             config, hl_planners, params, state
         )
 
-        # Spill windows center on the binning's tiles — the positions at
-        # the last rebin (ref), not fresh ones (core/step.py skin_mode).
-        t = jnp.clip(
-            tile_key(bcfg, ref, state.alive), 0, bcfg.n_tiles - 1
-        )
-        tile_xy = (t // jnp.int32(bcfg.ty), t % jnp.int32(bcfg.ty))
-
+        # Spill windows center on each spill's FRESH tile (tile_xy=None;
+        # exact for arbitrary evictee drift — see the eviction comment
+        # above; parked overflow agents are within skin of their stale
+        # tile, where fresh == stale +-1 anyway).
         truncated = jnp.zeros((), jnp.int32)
         for i, planner in enumerate(lp_planners):
             if hasattr(planner, "plan_fused"):
                 v, dropped = zanlungo_fused_resident(
                     bcfg, params.lp[i], state.position, state.velocity,
                     self_pref, state.preferred_vel, state.priority,
-                    state.eyesight, state.alive, vel, in_bucket, tile_xy,
+                    state.eyesight, state.alive, vel, in_bucket,
+                    tile_xy=None,
                     interpret=config.pallas_interpret, int_prio=int_prio,
                     dual_row=dual_row,
                     spill_capacity=config.spill_capacity,

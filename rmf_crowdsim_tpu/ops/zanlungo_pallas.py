@@ -773,11 +773,15 @@ def _make_kernel(cfg: BucketConfig,
         if compact_pass2:
             # Strict-lower-triangular 0/1 matrix for the exclusive prefix
             # count (built once per program, reused across sub-blocks).
+            # SEGMENTED per window: a [C, C] triangle applied per 128-lane
+            # window plus row-sum carry offsets is exact (integer counts
+            # in f32) and runs 3 MXU tile-ops instead of the full
+            # [3C, 3C] triangle's 9 (3 K-tiles x 3 N-tiles).
             # NOTE: a log-shift Hillis-Steele prefix was measured SLOWER
             # (85 vs 74 ms at 1M) — VPU lane-shift networks lose to the
             # MXU even at M=1; don't retry.
-            ci = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 0)
-            rj = jax.lax.broadcasted_iota(jnp.int32, (3 * C, 3 * C), 1)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
             tri = (ci < rj).astype(jnp.float32)
 
         def sub_block(s, _):
@@ -1009,12 +1013,22 @@ def _make_kernel(cfg: BucketConfig,
                 # r.  DEFAULT precision is EXACT here: both operands are
                 # 0/1 (lossless in bf16) and the MXU accumulates in f32
                 # — one pass instead of HIGHEST's multi-pass
-                # decomposition.
-                return jax.lax.dot_general(
-                    uv, tri, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
+                # decomposition.  Applied per 128-lane window with
+                # row-sum carry offsets (see the tri build comment).
+                parts = []
+                off = None
+                for k in range(3):
+                    seg = uv[:, k * C:(k + 1) * C]
+                    r = jax.lax.dot_general(
+                        seg, tri, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    parts.append(r if off is None else r + off)
+                    if k < 2:
+                        s = jnp.sum(seg, axis=1, keepdims=True)
+                        off = s if off is None else off + s
+                return jnp.concatenate(parts, axis=1)
 
             def split3(wv):
                 # EXACT 3-term bf16 split: each term is EXACTLY a bf16
@@ -1955,6 +1969,8 @@ def zanlungo_fused_resident(cfg: BucketConfig, zp, position, velocity,
     alive agents, which then keep ``rec_vel`` — the same loud truncation
     contract as :func:`zanlungo_fused`).
     """
+    from .transpose_pallas import plane_to_rowmajor
+
     r_cap = position.shape[0]
     assert r_cap == cfg.slots, "resident state capacity must equal slots"
     dtype = position.dtype
@@ -1972,19 +1988,21 @@ def zanlungo_fused_resident(cfg: BucketConfig, zp, position, velocity,
     fx, fy = m(pref_committed[:, 0]), m(pref_committed[:, 1])
     prio = m(priority)
     ids = m(jnp.arange(r_cap, dtype=f32), -1.0)
-    # Candidate plane [NUM_CAND, r_cap]: axis-0 stack of 1-D rows — no
-    # cross-axis relayout (same argument as bucketize's feat_t stack).
-    packed_T = jnp.stack([px, py, vx, vy, fx, fy, prio, ids], axis=0)
-    # Query plane [r_cap, NUM_F]: the column stack measured ~1 ms at 1M
-    # (perf/transpose_probe.py — the WRITE direction is cheap; it is the
-    # [slots, 16] -> [8, slots] READ transpose that costs ~9 ms).
-    packed_t = jnp.stack(
+    # Feature plane [NUM_F, r_cap]: axis-0 stack of 1-D rows — a cheap
+    # concatenation, no cross-axis relayout.  The row-major orientation
+    # the force kernel's query stream and the spill machinery consume is
+    # produced by the block-transpose kernel (ops/transpose_pallas.py):
+    # the XLA lowering of the same interleave (jnp.stack(cols, axis=-1))
+    # measured ~40 ms at 1.84M slots (perf/resident_probe.py).
+    feat_T = jnp.stack(
         [px, py, vx, vy, fx, fy, prio, ids,
          m(rec_vel[:, 0]), m(rec_vel[:, 1]), m(eyesight),
          m(self_pref[:, 0]), m(self_pref[:, 1]),
          zero, zero, jnp.where(live, 1.0, 0.0)],
-        axis=-1,
+        axis=0,
     )
+    packed_T = feat_T[:NUM_CAND]  # contiguous row slice — no relayout
+    packed_t = plane_to_rowmajor(feat_T, interpret=interpret)
     out = zanlungo_forces_bucketed(
         cfg, zparams5(zp), packed_t, interpret=interpret,
         int_prio=int_prio, packed_T=packed_T, dual_row=dual_row,

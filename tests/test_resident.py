@@ -154,6 +154,36 @@ def test_resident_matches_with_fast_agents():
     _assert_match(st_res, st_ref)
 
 
+def test_resident_evicts_lone_breacher_exactly():
+    """ONE fast agent among a slow crowd: it breaches the skin margin
+    (2 m/step > 1.5 m) and crosses several tiles while the parked count
+    stays far below the rebin threshold — so it is EVICTED to the spill
+    list, not re-sorted, and its physics (and its neighbors') must still
+    match the per-step-sort reference exactly: the spill windows center
+    on its FRESH tile."""
+    cfg, hl, lp, params, state = _scene(vel=(0.05, 0.02))
+    fast = ConstantVelocity((2.0, 0.3))
+    # Agent 3 sits mid-world (the knot is agents 0-23; pick a loner).
+    state = state.replace(
+        hl_idx=state.hl_idx.at[30].set(1),
+        position=state.position.at[30].set(
+            jnp.asarray([10.0, 30.0], state.position.dtype)
+        ),
+    )
+    params2 = SimParams(hl=(hl.init_params(), fast.init_params()),
+                        lp=params.lp, sources=None)
+    roll = build_rollout(cfg, [hl, fast], [lp])
+    assert roll.engine == "resident"
+    roll = jax.jit(roll, static_argnums=(3,))
+    st_res, counters = roll(params2, state, 1.0, 10)
+    assert int(np.max(np.asarray(counters.neighbor_truncated))) == 0
+    step = jax.jit(build_step(cfg, [hl, fast], [lp]))
+    st_ref = state
+    for _ in range(10):
+        st_ref, _ev = step(params2, st_ref, 1.0)
+    _assert_match(st_res, st_ref)
+
+
 def test_resident_matches_with_source_sink():
     """Streaming scene: spawns rebin the resident layout the same step;
     despawns must NOT corrupt it (dead slots sentinel out of the plane
