@@ -8,13 +8,16 @@
 //   - obstacle inflation by agent radius (rmf/mod.rs:126),
 //   - point-to-point planning (mapf A* over a visibility graph).
 //
-// This is a from-scratch design, not a port: instead of mapf's
-// per-query visibility graph + time-invariant expander, we run A* over the
-// inflated 8-connected occupancy grid and then string-pull the path with
-// exact line-of-sight shortcutting — yielding visibility-graph-quality
-// waypoint routes with a single precomputed structure, no per-query graph
-// builds.  Routes land in padded device arrays consumed by the jitted
-// WaypointFollow planner, so the per-step waypoint chase is a pure gather.
+// This is a from-scratch design, not a port.  The production mode plans
+// EXACT shortest routes over the visibility graph of convex
+// inflated-obstacle corners (matching mapf's optimality) with one
+// precomputed corner graph shared by all queries, cached per-goal
+// Dijkstra trees, and a sorted-candidate start connection that needs only
+// a handful of line-of-sight tests per query (see plan_visibility).  Grid
+// A* + exact line-of-sight string-pulling remains as the legacy mode and
+// the fallback for endpoints the corner graph cannot connect.  Routes
+// land in padded device arrays consumed by the jitted WaypointFollow
+// planner, so the per-step waypoint chase is a pure gather.
 //
 // Zero dependencies; C API for ctypes.  Build: make (g++ -O2 -shared).
 
@@ -23,10 +26,20 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <map>
 #include <queue>
+#include <utility>
 #include <vector>
 
 namespace {
+
+// Shortest-distance-to-goal tree over the corner visibility graph:
+// dist[c] = exact shortest path length corner c -> goal, next[c] = the
+// following corner on that path (-1: straight to the goal).
+struct GoalTree {
+  std::vector<double> dist;
+  std::vector<int32_t> next;
+};
 
 struct Planner {
   double cell_size;
@@ -34,6 +47,16 @@ struct Planner {
   int nx = 0, ny = 0;
   std::vector<uint8_t> occ;       // raw rasterized walls
   std::vector<uint8_t> inflated;  // occ dilated by inflation radius
+
+  // Exact visibility-graph planner state (built lazily on the first
+  // plan that isn't a straight shot; see build_graph()).
+  int mode = 0;  // 0 = exact visibility graph (default), 1 = legacy grid A*
+  double eps = 0.0;          // corner nudge into free space
+  bool graph_built = false;
+  std::vector<double> node_x, node_y;        // convex corner nodes
+  std::vector<int32_t> adj_off, adj_idx;     // CSR corner-corner edges
+  std::vector<double> adj_w;
+  std::map<std::pair<double, double>, GoalTree> goal_cache;
 
   inline bool in_bounds(int x, int y) const {
     return x >= 0 && x < nx && y >= 0 && y < ny;
@@ -124,6 +147,159 @@ struct Node {
   bool operator<(const Node& o) const { return f > o.f; }  // min-heap
 };
 
+// --- Exact visibility-graph machinery ---------------------------------------
+//
+// The reference plans over a true visibility graph (mapf's `Visibility`
+// built from the inflated SparseGrid, rmf/mod.rs:126, A* at
+// rmf/mod.rs:160-192), so its routes are shortest polygonal paths around
+// inflated corners.  This planner does the same, in the grid world model:
+// Dijkstra/A* over the visibility graph of CONVEX inflated-obstacle
+// corners (each nudged eps into free space so grazing segments don't clip
+// blocked cells).  By the taut-path argument the continuous optimum bends
+// only at convex corners, so the graph optimum IS the true optimum up to
+// the O(eps) nudges — tests/test_route_quality.py asserts ratio == 1 vs
+// the independent tests/visibility_oracle.py.  Grid A* + string-pulling
+// (plan_grid below) remains as fallback for endpoints the graph can't
+// connect and as the legacy mode (cs_set_mode).
+
+// Heap entry ordered by (dist, idx) — the idx tie-break keeps C++ and the
+// NumpyRoutePlanner twin bit-identical on equal-cost alternatives.
+struct DNode {
+  double d;
+  int idx;
+  bool operator<(const DNode& o) const {
+    return d != o.d ? d > o.d : idx > o.idx;  // min-heap
+  }
+};
+
+double dist2d(double ax, double ay, double bx, double by) {
+  double dx = bx - ax, dy = by - ay;
+  return std::sqrt(dx * dx + dy * dy);
+}
+
+// Enumerate convex corner nodes and the corner-corner visibility edges.
+// A lattice corner (i, j), i in 0..nx, j in 0..ny, touches cells
+// (i-1, j-1), (i, j-1), (i-1, j), (i, j) (out-of-grid cells are free);
+// it is a convex corner iff EXACTLY one of the four is blocked, and the
+// node is nudged eps diagonally away from the blocked quadrant
+// (tests/visibility_oracle.py uses the identical enumeration).
+void build_graph(Planner& p) {
+  if (p.graph_built) return;
+  p.graph_built = true;
+  p.eps = 0.03 * p.cell_size;
+  auto occ_at = [&](int x, int y) -> bool {
+    if (x < 0 || x >= p.nx || y < 0 || y >= p.ny) return false;
+    return p.inflated[(size_t)x * p.ny + y] != 0;
+  };
+  for (int i = 0; i <= p.nx; ++i) {
+    for (int j = 0; j <= p.ny; ++j) {
+      bool q0 = occ_at(i - 1, j - 1), q1 = occ_at(i, j - 1);
+      bool q2 = occ_at(i - 1, j), q3 = occ_at(i, j);
+      if ((int)q0 + q1 + q2 + q3 != 1) continue;
+      int k = q0 ? 0 : (q1 ? 1 : (q2 ? 2 : 3));
+      double sx = (k == 1 || k == 3) ? -1.0 : 1.0;
+      double sy = (k == 2 || k == 3) ? -1.0 : 1.0;
+      p.node_x.push_back(p.ox + i * p.cell_size + sx * p.eps);
+      p.node_y.push_back(p.oy + j * p.cell_size + sy * p.eps);
+    }
+  }
+  const int v = (int)p.node_x.size();
+  std::vector<std::vector<int32_t>> adj(v);
+  for (int a = 0; a < v; ++a)
+    for (int b = a + 1; b < v; ++b)
+      if (line_of_sight(p, p.node_x[a], p.node_y[a], p.node_x[b],
+                        p.node_y[b])) {
+        adj[a].push_back(b);
+        adj[b].push_back(a);
+      }
+  p.adj_off.assign(v + 1, 0);
+  for (int a = 0; a < v; ++a)
+    p.adj_off[a + 1] = p.adj_off[a] + (int32_t)adj[a].size();
+  p.adj_idx.reserve(p.adj_off[v]);
+  p.adj_w.reserve(p.adj_off[v]);
+  for (int a = 0; a < v; ++a)
+    for (int32_t b : adj[a]) {
+      p.adj_idx.push_back(b);
+      p.adj_w.push_back(
+          dist2d(p.node_x[a], p.node_y[a], p.node_x[b], p.node_y[b]));
+    }
+}
+
+// Shortest corner->goal distances (Dijkstra from the goal over the corner
+// graph, seeded with the goal->corner visibility edges).  Cached per goal:
+// route queries share few distinct goals (sinks/waypoints), so the
+// per-start work reduces to a sorted candidate scan (see plan_visibility).
+const GoalTree& goal_tree(Planner& p, double gx, double gy) {
+  auto key = std::make_pair(gx, gy);
+  auto it = p.goal_cache.find(key);
+  if (it != p.goal_cache.end()) return it->second;
+  const int v = (int)p.node_x.size();
+  GoalTree t;
+  t.dist.assign(v, 1e18);
+  t.next.assign(v, -1);
+  std::priority_queue<DNode> heap;
+  for (int c = 0; c < v; ++c)
+    if (line_of_sight(p, gx, gy, p.node_x[c], p.node_y[c])) {
+      t.dist[c] = dist2d(gx, gy, p.node_x[c], p.node_y[c]);
+      heap.push({t.dist[c], c});
+    }
+  std::vector<uint8_t> done(v, 0);
+  while (!heap.empty()) {
+    DNode nd = heap.top();
+    heap.pop();
+    if (done[nd.idx]) continue;
+    done[nd.idx] = 1;
+    for (int32_t e = p.adj_off[nd.idx]; e < p.adj_off[nd.idx + 1]; ++e) {
+      int32_t b = p.adj_idx[e];
+      double ndist = nd.d + p.adj_w[e];
+      if (ndist < t.dist[b]) {
+        t.dist[b] = ndist;
+        t.next[b] = nd.idx;
+        heap.push({ndist, b});
+      }
+    }
+  }
+  return p.goal_cache.emplace(key, std::move(t)).first->second;
+}
+
+// Exact visibility plan.  Returns the waypoint count (>= 2), -2 on
+// overflow, or 0 when the graph cannot connect the endpoints (caller
+// falls back to grid A*, which also decides true unreachability).
+int plan_visibility(Planner& p, double sx, double sy, double gx, double gy,
+                    double* out_xy, int max_pts) {
+  build_graph(p);
+  const int v = (int)p.node_x.size();
+  if (v == 0) return 0;
+  const GoalTree& t = goal_tree(p, gx, gy);
+  // Candidate first corners sorted by |s->c| + dist(c->goal): that sum is
+  // the TOTAL route cost if c is visible from s, so the first visible
+  // candidate in ascending order is the exact optimum — typically after
+  // 1-5 line-of-sight tests instead of v.
+  std::vector<std::pair<double, int>> cand;
+  cand.reserve(v);
+  for (int c = 0; c < v; ++c)
+    if (t.dist[c] < 1e17)
+      cand.emplace_back(
+          dist2d(sx, sy, p.node_x[c], p.node_y[c]) + t.dist[c], c);
+  std::sort(cand.begin(), cand.end());
+  for (auto& pr : cand) {
+    int c = pr.second;
+    if (!line_of_sight(p, sx, sy, p.node_x[c], p.node_y[c])) continue;
+    std::vector<std::pair<double, double>> out;
+    out.emplace_back(sx, sy);
+    for (int cur = c; cur != -1; cur = t.next[cur])
+      out.emplace_back(p.node_x[cur], p.node_y[cur]);
+    out.emplace_back(gx, gy);
+    if ((int)out.size() > max_pts) return -2;
+    for (size_t i = 0; i < out.size(); ++i) {
+      out_xy[2 * i] = out[i].first;
+      out_xy[2 * i + 1] = out[i].second;
+    }
+    return (int)out.size();
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -205,6 +381,11 @@ int cs_occupied(void* h, double x, double y) {
   return p->blocked(p->cx(x), p->cy(y)) ? 1 : 0;
 }
 
+// Select the planning algorithm: 0 = exact visibility graph (default,
+// the reference's mapf semantics), 1 = legacy grid A* + string-pulling
+// (kept for A/B and as the in-plan fallback).
+void cs_set_mode(void* h, int mode) { ((Planner*)h)->mode = mode; }
+
 // Plan a route from (sx, sy) to (gx, gy).  Writes up to max_pts (x, y)
 // pairs to out_xy, including both endpoints.  Returns the number of
 // waypoints, or -1 if no route exists (mapf Status::Impossible,
@@ -220,6 +401,13 @@ int cs_plan(void* h, double sx, double sy, double gx, double gy,
     if (max_pts < 2) return -2;
     out_xy[0] = sx; out_xy[1] = sy; out_xy[2] = gx; out_xy[3] = gy;
     return 2;
+  }
+
+  if (p->mode == 0 && !p->blocked(scx, scy) && !p->blocked(gcx, gcy)) {
+    int n = plan_visibility(*p, sx, sy, gx, gy, out_xy, max_pts);
+    if (n != 0) return n;  // exact route or -2 overflow
+    // n == 0: graph couldn't connect the endpoints (e.g. a corner-free
+    // enclosure) — grid A* below decides reachability.
   }
 
   // Clamp endpoints into the grid for the A* phase (world outside the

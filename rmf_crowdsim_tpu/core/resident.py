@@ -110,12 +110,21 @@ def resident_supported(config: SimConfig, hl_planners, lp_planners,
         )
     if bcfg.tx < 5 or bcfg.ty < 5:
         return False, "spill machinery needs a >= 5x5-tile world"
+    from ..models.local import Zanlungo
+
     for p in lp_planners:
-        if not (hasattr(p, "plan_fused")
-                or not getattr(p, "needs_neighbors", True)):
+        # The resident step dispatches fused planners straight to
+        # zanlungo_fused_resident (it assumes params.lp[i] is a Zanlungo
+        # param tuple), so a plan_fused attribute alone is not enough —
+        # a future non-Zanlungo fused planner must NOT silently get
+        # Zanlungo physics here; it falls back to the standard engine.
+        if isinstance(p, Zanlungo):
+            continue
+        if getattr(p, "needs_neighbors", True):
             return False, (
-                f"local planner {type(p).__name__} needs a neighbor "
-                "table (no plan_fused)"
+                f"local planner {type(p).__name__} is not supported by "
+                "the resident engine (only Zanlungo's fused kernel and "
+                "neighbor-free planners are)"
             )
     return True, ""
 
@@ -289,9 +298,11 @@ def build_resident_rollout(
         # exact for arbitrary evictee drift — see the eviction comment
         # above; parked overflow agents are within skin of their stale
         # tile, where fresh == stale +-1 anyway).
+        from ..models.local import Zanlungo
+
         truncated = jnp.zeros((), jnp.int32)
         for i, planner in enumerate(lp_planners):
-            if hasattr(planner, "plan_fused"):
+            if isinstance(planner, Zanlungo):
                 v, dropped = zanlungo_fused_resident(
                     bcfg, params.lp[i], state.position, state.velocity,
                     self_pref, state.preferred_vel, state.priority,

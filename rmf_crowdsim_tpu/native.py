@@ -8,11 +8,14 @@ ABI.  ``RoutePlannerBackend`` is the shared interface:
     plan(start, goal) -> list[(x, y)] | None   (None = no route,
                                                 mapf Status::Impossible)
 
-The C++ library is auto-built with g++ on first use if missing; the
-``NumpyRoutePlanner`` fallback (same algorithm: Bresenham rasterization,
-disc inflation, A* + exact line-of-sight string-pulling) keeps the
-framework functional without a toolchain and serves as the oracle in
-native-vs-fallback parity tests.
+The C++ library is auto-built with g++ on first use if missing or stale;
+the ``NumpyRoutePlanner`` fallback (same algorithm: Bresenham
+rasterization, disc inflation, and EXACT shortest-path planning over the
+convex-corner visibility graph — the reference's mapf optimality,
+rmf/mod.rs:126/160-192 — with grid A* + line-of-sight string-pulling as
+the legacy mode and in-plan fallback) keeps the framework functional
+without a toolchain and serves as the oracle in native-vs-fallback
+parity tests.
 """
 
 from __future__ import annotations
@@ -38,8 +41,13 @@ def _load_lib():
     if _lib is not None or _lib_error is not None:
         return _lib
     try:
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "crowdsim_native.cpp")
+        src = os.path.join(_NATIVE_DIR, "crowdsim_native.cpp")
+        stale = (
+            not os.path.exists(_SO_PATH)
+            or (os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+        )
+        if stale:
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
                  "-o", _SO_PATH, src],
@@ -65,6 +73,8 @@ def _load_lib():
         lib.cs_grid_dims.restype = ctypes.c_int
         lib.cs_grid_dims.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_double)]
+        lib.cs_set_mode.restype = None
+        lib.cs_set_mode.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     except Exception as e:  # toolchain missing / build failure
         _lib_error = repr(e)
@@ -82,7 +92,8 @@ class NativeRoutePlanner:
     def __init__(self, vertices: Sequence[Tuple[float, float]],
                  walls: Sequence[Tuple[int, int]],
                  cell_size: float, inflation: float,
-                 max_waypoints: int = 512):
+                 max_waypoints: int = 512, mode: str = "visibility"):
+        assert mode in ("visibility", "grid"), mode
         lib = _load_lib()
         if lib is None:
             raise RuntimeError(f"native planner unavailable: {_lib_error}")
@@ -99,6 +110,8 @@ class NativeRoutePlanner:
         )
         if not self._h:
             raise RuntimeError("cs_create failed")
+        self.mode = mode
+        lib.cs_set_mode(self._h, 0 if mode == "visibility" else 1)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -125,10 +138,20 @@ class NativeRoutePlanner:
 
 class NumpyRoutePlanner:
     """Pure-Python planner with the same semantics as the C++ one; the
-    parity oracle and the no-toolchain fallback."""
+    parity oracle and the no-toolchain fallback.
+
+    ``mode`` selects the algorithm, mirroring ``cs_set_mode``:
+    "visibility" (default) = exact shortest path over the convex-corner
+    visibility graph (the reference's mapf semantics, rmf/mod.rs:126,
+    160-192); "grid" = legacy grid A* + string-pulling (also the in-plan
+    fallback when the graph can't connect the endpoints)."""
 
     def __init__(self, vertices, walls, cell_size: float, inflation: float,
-                 max_waypoints: int = 512):
+                 max_waypoints: int = 512, mode: str = "visibility"):
+        assert mode in ("visibility", "grid"), mode
+        self.mode = mode
+        self._graph = None  # lazily built (nodes, csr) visibility graph
+        self._goal_cache: dict = {}
         self.cell = float(cell_size)
         v = np.asarray(vertices, np.float64).reshape(-1, 2)
         w = np.asarray(walls, np.int64).reshape(-1, 2)
@@ -248,11 +271,111 @@ class NumpyRoutePlanner:
                 return False
         return cx == gx and cy == gy
 
+    # -- exact visibility-graph planning (mirrors the C++ build_graph /
+    # -- goal_tree / plan_visibility; tie-breaks are (dist, idx) in both) --
+
+    def _build_graph(self):
+        if self._graph is not None:
+            return self._graph
+        eps = 0.03 * self.cell
+        # Convex lattice corners: pad the inflated grid with a free border,
+        # then a corner (i, j) is convex iff exactly one of its 4 touching
+        # cells is blocked (identical to tests/visibility_oracle.py).
+        occ = np.zeros((self.nx + 2, self.ny + 2), bool)
+        occ[1:-1, 1:-1] = self.inflated
+        q0 = occ[:-1, :-1]  # cell (i-1, j-1)
+        q1 = occ[1:, :-1]   # cell (i,   j-1)
+        q2 = occ[:-1, 1:]   # cell (i-1, j)
+        q3 = occ[1:, 1:]    # cell (i,   j)
+        total = q0.astype(np.int8) + q1 + q2 + q3
+        ii, jj = np.nonzero(total == 1)
+        sx = np.where(q1[ii, jj] | q3[ii, jj], -1.0, 1.0)
+        sy = np.where(q2[ii, jj] | q3[ii, jj], -1.0, 1.0)
+        nx_ = self.ox + ii * self.cell + sx * eps
+        ny_ = self.oy + jj * self.cell + sy * eps
+        nodes = list(zip(nx_.tolist(), ny_.tolist()))
+        v = len(nodes)
+        adj: List[List[Tuple[int, float]]] = [[] for _ in range(v)]
+        for a in range(v):
+            ax, ay = nodes[a]
+            for b in range(a + 1, v):
+                bx, by = nodes[b]
+                if self._line_of_sight(ax, ay, bx, by):
+                    w = math.sqrt((bx - ax) ** 2 + (by - ay) ** 2)
+                    adj[a].append((b, w))
+                    adj[b].append((a, w))
+        self._graph = (nodes, adj)
+        return self._graph
+
+    def _goal_tree(self, gx, gy):
+        key = (gx, gy)
+        t = self._goal_cache.get(key)
+        if t is not None:
+            return t
+        nodes, adj = self._build_graph()
+        v = len(nodes)
+        dist = [math.inf] * v
+        nxt = [-1] * v
+        heap = []
+        for c, (cx_, cy_) in enumerate(nodes):
+            if self._line_of_sight(gx, gy, cx_, cy_):
+                dist[c] = math.sqrt((cx_ - gx) ** 2 + (cy_ - gy) ** 2)
+                heapq.heappush(heap, (dist[c], c))
+        done = [False] * v
+        while heap:
+            d, u = heapq.heappop(heap)
+            if done[u]:
+                continue
+            done[u] = True
+            for b, w in adj[u]:
+                nd = d + w
+                if nd < dist[b]:
+                    dist[b] = nd
+                    nxt[b] = u
+                    heapq.heappush(heap, (nd, b))
+        t = (dist, nxt)
+        self._goal_cache[key] = t
+        return t
+
+    def _plan_visibility(self, sx, sy, gx, gy):
+        """Exact shortest route, or None when the corner graph can't
+        connect the endpoints (caller falls back to grid A*)."""
+        nodes, _ = self._build_graph()
+        if not nodes:
+            return None
+        dist, nxt = self._goal_tree(gx, gy)
+        # Candidates by |s->c| + dist(c->goal) ascending: that sum is the
+        # total route cost when c is visible, so the first visible
+        # candidate is the exact optimum.
+        cand = sorted(
+            (math.sqrt((cx_ - sx) ** 2 + (cy_ - sy) ** 2) + dist[c], c)
+            for c, (cx_, cy_) in enumerate(nodes)
+            if dist[c] < math.inf
+        )
+        for _, c in cand:
+            if not self._line_of_sight(sx, sy, *nodes[c]):
+                continue
+            out = [(sx, sy)]
+            cur = c
+            while cur != -1:
+                out.append(nodes[cur])
+                cur = nxt[cur]
+            out.append((gx, gy))
+            return out
+        return None
+
     def plan(self, start, goal) -> Optional[List[Tuple[float, float]]]:
         sx, sy = float(start[0]), float(start[1])
         gx, gy = float(goal[0]), float(goal[1])
         if self._line_of_sight(sx, sy, gx, gy):
             return [(sx, sy), (gx, gy)]
+        if (self.mode == "visibility"
+                and not self._blocked(self._cx(sx), self._cy(sy))
+                and not self._blocked(self._cx(gx), self._cy(gy))):
+            route = self._plan_visibility(sx, sy, gx, gy)
+            if route is not None:
+                return route
+            # fall through: grid A* decides reachability
         scx = min(max(self._cx(sx), 0), self.nx - 1)
         scy = min(max(self._cy(sy), 0), self.ny - 1)
         gcx = min(max(self._cx(gx), 0), self.nx - 1)
@@ -330,11 +453,12 @@ class NumpyRoutePlanner:
 
 
 def make_route_planner(vertices, walls, cell_size: float, inflation: float,
-                       prefer_native: bool = True, max_waypoints: int = 512):
+                       prefer_native: bool = True, max_waypoints: int = 512,
+                       mode: str = "visibility"):
     """Factory: native C++ planner when the toolchain/lib is available,
     NumPy fallback otherwise."""
     if prefer_native and native_available():
         return NativeRoutePlanner(vertices, walls, cell_size, inflation,
-                                  max_waypoints)
+                                  max_waypoints, mode=mode)
     return NumpyRoutePlanner(vertices, walls, cell_size, inflation,
-                             max_waypoints)
+                             max_waypoints, mode=mode)

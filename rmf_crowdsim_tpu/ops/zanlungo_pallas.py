@@ -1959,10 +1959,16 @@ def zanlungo_fused_resident(cfg: BucketConfig, zp, position, velocity,
     last rebin) are repaired exactly by :func:`spill_patch`, identically
     to the standard engine's overflow handling.
 
-    ``tile_xy``: (tcx [R], tcy [R]) int32 — each row's tile AT THE LAST
-    REBIN (the binning the plane layout encodes).  Spill windows must
-    center there, not on fresh positions (the skin bound keeps true
-    neighbors inside the stale window — core/step.py skin_mode).
+    ``tile_xy``: optional (tcx [R], tcy [R]) int32 spill-window centers.
+    The resident engine passes ``None`` (the correct mode for its
+    eviction model): spill windows then center on each parked agent's
+    FRESH tile, which is required for exactness because an evicted
+    skin-breacher may have drifted several tiles since the last rebin —
+    centering on its stale rebin tile could miss its new neighborhood.
+    Stale-tile centering (passing the last-rebin tiles) applies only to
+    the carried-binning STANDARD engine, where a skin breach forces a
+    resort and parked rows therefore never drift past the skin margin
+    (core/step.py skin_mode).
 
     Returns (vel [R, 2] in ``position.dtype``, dropped [] int32 — spills
     beyond ``spill_capacity``; with ``spill_capacity`` == 0, all parked

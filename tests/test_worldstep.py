@@ -32,7 +32,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def make_scene(capacity=128):
+def make_scene(capacity=128, dual_row=False):
     """A streaming scene whose agents cross all 8 region boundaries:
     sources on the left edge, sinks on the right, Zanlungo forces on."""
     cfg = SimConfig(
@@ -47,6 +47,7 @@ def make_scene(capacity=128):
         pallas_interpret=True,
         dtype="float32",
         on_truncation="ignore",
+        dual_row=dual_row,
     )
     hl = ConstantVelocity((1.5, 0.0))
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
@@ -73,8 +74,8 @@ def make_scene(capacity=128):
     return cfg, hl, lp, params, state
 
 
-def run_world(n_devices: int, n_steps: int = 40):
-    cfg, hl, lp, params, state = make_scene()
+def run_world(n_devices: int, n_steps: int = 40, dual_row=False):
+    cfg, hl, lp, params, state = make_scene(dual_row=dual_row)
     mesh = jax.sharding.Mesh(
         np.asarray(jax.devices()[:n_devices]), (WORLD_AXIS,)
     )
@@ -95,9 +96,14 @@ def run_world(n_devices: int, n_steps: int = 40):
     return agents, jax.device_get(counters), st
 
 
-def test_world_sharded_matches_single_device_bitwise():
-    a8, c8, _ = run_world(8)
-    a1, c1, _ = run_world(1)
+@pytest.mark.parametrize("dual_row", [False, True])
+def test_world_sharded_matches_single_device_bitwise(dual_row):
+    # dual_row=True exercises the dual-row compacted tier under the
+    # world engine's HALO-EXTENDED BucketConfigs, where the lane_ok
+    # column clip interacts with the dual tier's bbox unions (bench
+    # enables dual_row for grid_pallas, so this path is production).
+    a8, c8, _ = run_world(8, dual_row=dual_row)
+    a1, c1, _ = run_world(1, dual_row=dual_row)
 
     # Agents actually migrated across shards in the 8-device run, and
     # nothing was lost or mis-regioned.
