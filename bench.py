@@ -71,13 +71,6 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # half-unions at this density (perf/dualrow_ab.py: 44.0 vs 45.4
         # ms kernel-only at 1M); tolerance-level output differences.
         dual_row=(backend == "grid_pallas"),
-        # Slot-resident rollout (core/resident.py) is OFF: measured a
-        # LOSER on this scene — 9.81 steps/s at 1M vs the general
-        # engine's 17.84 (p50 102 vs 56 ms; DESIGN_NOTES "resident
-        # engine" ledger).  The rowmajor transpose + fresh-tile spill
-        # recompute it pays every step exceed the pack/unbucketize work
-        # it avoids.  Kept as an engine option for churn-free scenes.
-        resident=False,
         dtype=dtype,
     )
 
@@ -167,7 +160,8 @@ def compiled_parity_check(n_agents: int = 4096, n_steps: int = 5):
     return True
 
 
-def time_shard_proxy(d: int = 10, n_steps: int = 20):
+def time_shard_proxy(d: int = 10, n_steps: int = 20,
+                     invariance: str = "bitwise"):
     """PROJECTED multi-chip evidence: one shard of the D-device
     world-sharded engine, measured VERBATIM on the one real chip.
 
@@ -214,6 +208,7 @@ def time_shard_proxy(d: int = 10, n_steps: int = 20):
         grid=GridConfig(width=width, height=height, cell_size=2.0,
                         offset=(0.0, world.grid.offset[1])),
         spill_capacity=max(128, n // 4096),
+        sharding_invariance=invariance,
     )
     hl = ParityVelocity((1.0, 0.0))
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
@@ -261,6 +256,7 @@ def time_shard_proxy(d: int = 10, n_steps: int = 20):
     return {
         "d": d,
         "shard_agents": n,
+        "sharding_invariance": invariance,
         "ms_per_step": round(ms, 2),
         "implied_steps_per_sec": round(1e3 / ms, 1),
         "projected": True,
@@ -473,6 +469,12 @@ def main():
                 extra["multichip_shard_proxy"] = time_shard_proxy(d=10)
             except Exception as e:
                 extra["multichip_shard_proxy"] = f"failed: {e!r}"
+            try:
+                extra["multichip_shard_proxy_tolerance"] = (
+                    time_shard_proxy(d=10, invariance="tolerance")
+                )
+            except Exception as e:
+                extra["multichip_shard_proxy_tolerance"] = f"failed: {e!r}"
         try:
             rmf_sps, rmf_host = time_rmf_routing()
             extra["steps_per_sec_rmf10k"] = round(rmf_sps, 1)

@@ -153,18 +153,23 @@ class SimConfig:
     # the reduction tree groups them differently — tolerance-level (ULP)
     # differences only, like integer_priorities.
     dual_row: bool = False
-    # Slot-resident rollout (core/resident.py): between rebins the
-    # scanned rollout keeps the SoA state IN the bucket layout (capacity
-    # == slots, row r IS bucket slot r's agent), so the per-step pack
-    # (~7.8 ms at 1M) and unbucketize gather (~3-7 ms) vanish — the
-    # packed planes are elementwise stacks and the kernel output is the
-    # per-agent velocity.  Rebins (spawn, or an agent outrunning the
-    # skin margin) run a double sort.  Falls back silently to the
-    # standard rollout when unsupported (see resident_supported: needs
-    # grid_pallas + presort, slots >= capacity, fused-capable local
-    # planners).  Affects build_rollout only; single-step build_step is
-    # unchanged.  Same tolerance class as presort (f32 sum order).
-    resident: bool = False
+    # World-sharded engine (parallel/worldstep.py) cross-device-count
+    # reproducibility contract.
+    # - "bitwise" (default): every step re-establishes the canonical
+    #   (tile, uid) candidate order (a uid pre-sort feeding the stable
+    #   tile sort), so an 8-device run is BITWISE identical to a
+    #   1-device run — at the cost of ~2 full payload sorts plus the
+    #   per-row feature gathers every step.
+    # - "tolerance": each shard keeps its state tile-sorted across steps
+    #   (the skin-deferred presort, per shard) and re-sorts only when an
+    #   agent outruns the skin margin or the shard's population changes
+    #   (spawn / despawn / migration).  Neighbor sets and forces stay
+    #   EXACT; only the f32 force-sum lane order depends on shard history
+    #   — the same divergence class the single-chip engine already
+    #   accepts for presort / dual_row / int_prio (8-vs-1 tests assert
+    #   allclose instead of equality).  This removes the dominant
+    #   per-step shard tax (measured in BENCH multichip_shard_proxy).
+    sharding_invariance: str = "bitwise"
     # Run the Pallas kernels in interpreter mode (CPU tests).
     pallas_interpret: bool = False
     # What the host session does when a step reports neighbor truncation
@@ -230,4 +235,9 @@ class SimConfig:
             raise ValueError(
                 f"on_out_of_bounds must be 'raise' or 'ignore', "
                 f"got {self.on_out_of_bounds!r}"
+            )
+        if self.sharding_invariance not in ("bitwise", "tolerance"):
+            raise ValueError(
+                f"sharding_invariance must be 'bitwise' or 'tolerance', "
+                f"got {self.sharding_invariance!r}"
             )

@@ -65,7 +65,7 @@ class SimParams:
 
 
 def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt,
-                 key, max_alive: Optional[int] = None):
+                 key):
     """Phase A (lib.rs:199-254): per active source, ask its generator for a
     count; if positive and no alive agent sits strictly within
     ``spawn_clearance`` of the source (hard-coded 0.4 in the reference,
@@ -78,14 +78,8 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt,
     and only then inserts the new agents in a second pass (lib.rs:224-234
     → add_agents → lib.rs:146).  A same-step spawn from one source can
     therefore never block a co-located source; both spawn.
-
-    ``max_alive``: optional population cap BELOW the array capacity — the
-    resident rollout (core/resident.py) runs this phase on a
-    slots-capacity state but must honor the public ``config.capacity``
-    contract (spawns beyond it are dropped, exactly as a full
-    capacity-N state drops them)."""
-    n = state.capacity  # NOT config.capacity: the resident rollout runs
-    # this phase on a slots-capacity state (core/resident.py).
+"""
+    n = state.capacity
     f = config.jdtype
     s = sp.source.shape[0]
 
@@ -137,13 +131,6 @@ def _spawn_phase(config: SimConfig, sp: SourceParams, state: SimState, dt,
     # Slot allocation: k-th spawning source takes the k-th free slot.
     free = ~state.alive
     n_free = jnp.sum(free.astype(jnp.int32))
-    if max_alive is not None:
-        budget = jnp.maximum(
-            jnp.int32(max_alive)
-            - jnp.sum(state.alive.astype(jnp.int32)),
-            0,
-        )
-        n_free = jnp.minimum(n_free, budget)
     slot_of_rank = jnp.sort(
         jnp.where(free, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     )  # ascending free-slot indices, padded with n
@@ -195,8 +182,7 @@ def _hl_phase(config: SimConfig, hl_planners, params: SimParams,
     """High-level planner pass (lib.rs:263-273): vel starts at zero; a
     planner returning Some sets both vel and (the clone's)
     preferred_vel.  Returns (vel, self_pref, state-with-route_wp).
-    Shared by the standard step and the resident rollout
-    (core/resident.py) — operates on whatever capacity ``state`` has."""
+    Operates on whatever capacity ``state`` has."""
     n = state.capacity
     f = config.jdtype
     vel = jnp.zeros((n, 2), f)
@@ -217,7 +203,7 @@ def _sink_phase(config: SimConfig, hl_planners, params: SimParams,
     """SourceSink waypoint bookkeeping (lib.rs:304-336) against the
     PRE-integration position (lib.rs:314 reads agent.position before the
     commit).  Returns (state, destroyed, reached).  Shared by the
-    standard step and the resident rollout."""
+    standard step."""
     n = state.capacity
     destroyed = jnp.zeros((n,), jnp.bool_)
     reached = jnp.zeros((n,), jnp.bool_)
@@ -271,9 +257,9 @@ def _sink_phase(config: SimConfig, hl_planners, params: SimParams,
 
 def payload_sort_by_key(state: SimState, key, spawned):
     """ONE unstable ``lax.sort`` with the whole SoA state as payloads,
-    ordered by ``key`` [N] int32 — the presort primitive shared by the
-    standard step (tile keys) and the resident rollout's double-sort
-    resort (core/resident.py, tile keys then slot targets).
+    ordered by ``key`` [N] int32 — the presort primitive of the
+    tile-sorted step (core/step.py) and the world-sharded tolerance
+    mode (parallel/worldstep.py).
 
     Returns (sorted state, sorted spawned mask, sorted keys).
 
@@ -331,8 +317,7 @@ def payload_sort_by_key(state: SimState, key, spawned):
 def _finish_phase(config: SimConfig, hl_planners, params: SimParams,
                   state: SimState, vel, self_pref, spawned, spawn_dropped,
                   max_occ, truncated, dt):
-    """The step's tail, shared by the standard step and the resident
-    rollout (core/resident.py): Euler integration (lib.rs:295-297),
+    """The step's tail: Euler integration (lib.rs:295-297),
     out-of-grid flag (vs the reference erroring the whole step,
     lib.rs:299-302), SourceSink waypoint bookkeeping (lib.rs:304-336),
     Phase C commit (lib.rs:350-359), Phase D despawn, and the event
@@ -620,10 +605,12 @@ def build_step(
             spawn_dropped, max_occ, truncated, dt,
         )
         if skin_mode:
-            # A despawn this step invalidates the carried binning for the
-            # NEXT step: the dead agent's carried bucket slot would keep
-            # packing it as a live force candidate.
-            skin_out["valid"] = ~jnp.any(destroyed)
+            # Despawns do NOT invalidate the carried binning: bucketize's
+            # carried path packs fresh-dead rows INERT (position sentinel,
+            # id -1 — fresh-dead masking), so a dead agent can never act
+            # as a force candidate.  Its freed slot is only ever reused
+            # by a spawn, which triggers a resort above.
+            skin_out["valid"] = jnp.ones((), jnp.bool_)
             return state, events, skin_out
         return state, events
 
@@ -683,7 +670,7 @@ def _compact_events(mask, uid, k: int, pos=None):
 
 
 def emit_rollout_record(ev: StepEvents, st: SimState, k: int):
-    """Per-step scan output shared by the standard and resident rollouts:
+    """Per-step scan output of the scanned rollout:
     :class:`RolloutCounters` when ``k`` == 0, else an :class:`EventStream`
     row (compact per-uid records, up to ``k`` per kind)."""
     c = RolloutCounters(
@@ -742,21 +729,9 @@ def build_rollout(
     or the population changes — on slow-moving scenes the per-step
     sort + rank amortizes away.
 
-    With ``config.resident`` the SLOT-RESIDENT engine (core/resident.py)
-    is used instead when the configuration supports it (check the
-    returned function's ``engine`` attribute): the scan keeps the state
-    in the bucket layout between rebins, eliminating the per-step
-    pack/unbucketize round-trip entirely."""
-    if getattr(config, "resident", False):
-        from .resident import build_resident_rollout, resident_supported
-
-        ok, _why = resident_supported(
-            config, hl_planners, lp_planners, neighbor_fn
-        )
-        if ok:
-            return build_resident_rollout(
-                config, hl_planners, lp_planners, event_capacity
-            )
+    (The slot-resident engine that kept state in the bucket layout
+    between rebins was DELETED in round 5 — measured 9.8 vs 17.8
+    steps/s on the bench scene; DESIGN_NOTES.md post-mortem.)"""
     step = build_step(config, hl_planners, lp_planners,
                       neighbor_fn=neighbor_fn, skin_mode=True)
     uses_skin = bool(getattr(step, "skin_mode", False))

@@ -339,15 +339,30 @@ def bucketize(cfg: BucketConfig, position, velocity, pref_committed,
     # cross-axis relayout, unlike a [N, NUM_F].T which costs ~9 ms at
     # 1M); the XLA-scatter fallback stacks row-major for its row scatter.
     f32 = jnp.float32
+    px_col = position[:, 0].astype(f32)
+    py_col = position[:, 1].astype(f32)
+    id_col = jnp.arange(n, dtype=f32)
+    if binning is not None:
+        # Fresh-dead masking (carried binning only): an agent that died
+        # since the carried sort (despawn, or a migration departure on
+        # the world-sharded engine) still owns its carried bucket slot —
+        # pack it INERT (position sentinel, id -1) so it cannot act as a
+        # force candidate or a window query.  Callers may therefore keep
+        # the carry across deaths (core/step skin_mode,
+        # parallel/worldstep tolerance mode).  On the fresh-sort paths
+        # dead agents get the tile sentinel key and are never packed.
+        px_col = jnp.where(alive, px_col, _POS_SENTINEL)
+        py_col = jnp.where(alive, py_col, _POS_SENTINEL)
+        id_col = jnp.where(alive, id_col, -1.0)
     cols = [
-        position[:, 0].astype(f32),
-        position[:, 1].astype(f32),
+        px_col,
+        py_col,
         velocity[:, 0].astype(f32),
         velocity[:, 1].astype(f32),
         pref_committed[:, 0].astype(f32),
         pref_committed[:, 1].astype(f32),
         priority.astype(f32),
-        jnp.arange(n, dtype=f32),
+        id_col,
         rec_vel[:, 0].astype(f32),
         rec_vel[:, 1].astype(f32),
         eyesight.astype(f32),
@@ -1939,95 +1954,6 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
     out = jnp.concatenate([out_win, own], axis=1)            # [S, 9b+1, 2]
     q_id_full = jnp.concatenate([q_id, sp["id"][:, None]], axis=1)
     return out, q_id_full, q_slots
-
-
-def zanlungo_fused_resident(cfg: BucketConfig, zp, position, velocity,
-                            self_pref, pref_committed, priority, eyesight,
-                            alive, rec_vel, in_bucket, tile_xy,
-                            interpret: bool = False, int_prio: bool = False,
-                            dual_row: bool = False,
-                            spill_capacity: int = 0):
-    """Fused force pass for SLOT-RESIDENT state (core/resident.py).
-
-    The caller keeps its SoA state at capacity ``cfg.slots`` with the
-    invariant that row ``r`` either IS bucket slot ``r``'s agent
-    (``in_bucket[r]``, placed there by the last rebin's double sort) or
-    is a parked/dead row.  The packed planes are then pure elementwise
-    masking + feature stacks of the state columns — no rank, no pack
-    gather — and the kernel output IS the per-agent velocity — no
-    unbucketize gather.  Parked alive agents (bucket overflow at the
-    last rebin) are repaired exactly by :func:`spill_patch`, identically
-    to the standard engine's overflow handling.
-
-    ``tile_xy``: optional (tcx [R], tcy [R]) int32 spill-window centers.
-    The resident engine passes ``None`` (the correct mode for its
-    eviction model): spill windows then center on each parked agent's
-    FRESH tile, which is required for exactness because an evicted
-    skin-breacher may have drifted several tiles since the last rebin —
-    centering on its stale rebin tile could miss its new neighborhood.
-    Stale-tile centering (passing the last-rebin tiles) applies only to
-    the carried-binning STANDARD engine, where a skin breach forces a
-    resort and parked rows therefore never drift past the skin margin
-    (core/step.py skin_mode).
-
-    Returns (vel [R, 2] in ``position.dtype``, dropped [] int32 — spills
-    beyond ``spill_capacity``; with ``spill_capacity`` == 0, all parked
-    alive agents, which then keep ``rec_vel`` — the same loud truncation
-    contract as :func:`zanlungo_fused`).
-    """
-    from .transpose_pallas import plane_to_rowmajor
-
-    r_cap = position.shape[0]
-    assert r_cap == cfg.slots, "resident state capacity must equal slots"
-    dtype = position.dtype
-    f32 = jnp.float32
-    live = in_bucket & alive
-    sent = jnp.float32(_POS_SENTINEL)
-    zero = jnp.zeros((r_cap,), f32)
-
-    def m(col, fill=0.0):
-        return jnp.where(live, col.astype(f32), jnp.float32(fill))
-
-    px = m(position[:, 0], sent)
-    py = m(position[:, 1], sent)
-    vx, vy = m(velocity[:, 0]), m(velocity[:, 1])
-    fx, fy = m(pref_committed[:, 0]), m(pref_committed[:, 1])
-    prio = m(priority)
-    ids = m(jnp.arange(r_cap, dtype=f32), -1.0)
-    # Feature plane [NUM_F, r_cap]: axis-0 stack of 1-D rows — a cheap
-    # concatenation, no cross-axis relayout.  The row-major orientation
-    # the force kernel's query stream and the spill machinery consume is
-    # produced by the block-transpose kernel (ops/transpose_pallas.py):
-    # the XLA lowering of the same interleave (jnp.stack(cols, axis=-1))
-    # measured ~40 ms at 1.84M slots (perf/resident_probe.py).
-    feat_T = jnp.stack(
-        [px, py, vx, vy, fx, fy, prio, ids,
-         m(rec_vel[:, 0]), m(rec_vel[:, 1]), m(eyesight),
-         m(self_pref[:, 0]), m(self_pref[:, 1]),
-         zero, zero, jnp.where(live, 1.0, 0.0)],
-        axis=0,
-    )
-    packed_T = feat_T[:NUM_CAND]  # contiguous row slice — no relayout
-    packed_t = plane_to_rowmajor(feat_T, interpret=interpret)
-    out = zanlungo_forces_bucketed(
-        cfg, zparams5(zp), packed_t, interpret=interpret,
-        int_prio=int_prio, packed_T=packed_T, dual_row=dual_row,
-    )
-    vel = jnp.where(live[:, None], out.astype(dtype), rec_vel)
-    if spill_capacity > 0:
-        bucket_pos = jnp.where(
-            live, jnp.arange(r_cap, dtype=jnp.int32), jnp.int32(cfg.slots)
-        )
-        vel, unresolved = spill_patch(
-            cfg, zp, position, velocity, self_pref, pref_committed,
-            priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
-            spill_capacity, interpret=interpret, int_prio=int_prio,
-            packed_T=packed_T, tile_xy=tile_xy,
-        )
-        dropped = unresolved.astype(jnp.int32)
-    else:
-        dropped = jnp.sum((alive & ~in_bucket).astype(jnp.int32))
-    return vel, dropped
 
 
 def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,

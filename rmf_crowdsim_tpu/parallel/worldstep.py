@@ -40,19 +40,45 @@ Layout
   replicated scan over the per-source spawn decisions.  The spawning
   source takes a free slot on the shard that owns it.
 
-Sharding invariance (tested: 8 devices vs 1, bitwise)
+Sharding invariance (``config.sharding_invariance``)
 ----------------------------------------------------
-Force sums are ordered by the packed slot layout, and migration arrival
-order would perturb shard-local slot order — so this engine bucketizes
-in canonical ``(tile, uid)`` order (a uid pre-sort feeding the stable
-tile sort), making every candidate window's content AND order
-independent of slot history.  All other phases are elementwise or
-keyed by uid.  Out-of-world agents clamp into the world's edge tile
-column on the edge shards — identical to the single-device tile clip —
-and uids advance by the psum'd COMMITTED spawn count, so the uid stream
-matches ``build_step`` exactly.  The one remaining capacity-pressure
-divergence: a spawn is dropped when its *shard* is full even if the
-global array has room (exercised by a test).
+``"bitwise"`` (default): force sums are ordered by the packed slot
+layout, and migration arrival order would perturb shard-local slot
+order — so this engine bucketizes in canonical ``(tile, uid)`` order (a
+uid pre-sort feeding the stable tile sort), making every candidate
+window's content AND order independent of slot history.  An 8-device
+run is BITWISE identical to a 1-device run (tested).  All other phases
+are elementwise or keyed by uid.  Out-of-world agents clamp into the
+world's edge tile column on the edge shards — identical to the
+single-device tile clip — and uids advance by the psum'd COMMITTED
+spawn count, so the uid stream matches ``build_step`` exactly.  The one
+remaining capacity-pressure divergence: a spawn is dropped when its
+*shard* is full even if the global array has room (exercised by a test).
+
+``"tolerance"``: the canonical per-step double sort (plus its per-row
+feature gathers) is the dominant shard tax — measured 32 vs 9.6
+ms/shard-step at D=10 on the bench scene (DESIGN_NOTES.md).  In
+tolerance mode each shard instead keeps its state TILE-SORTED across
+steps with the skin-deferred presort (core/step.py skin_mode, applied
+per shard), and population churn does not break the carry: deaths
+(despawn, migration departure) pack INERT via bucketize's fresh-dead
+masking, and new agents (spawns, migration arrivals) ride the EXACT
+spill patch as unbinned "riders" — carried bpos == slots, carried key
+== their insertion tile — until the next re-sort (requires
+``spill_capacity`` > 0; without it spawns/arrivals force a re-sort).
+A shard re-sorts only when an agent outruns the skin margin
+``(tile_size - max_eyesight)/2`` or rider+overflow pressure exceeds
+3/4 of the spill buffer.  Neighbor sets and forces stay EXACT (the
+Verlet-skin argument extends across the halo seam because packed
+positions are global and halo columns carry the same margin bound;
+every query affected by an unpacked rider has its carried tile within
++-1 of the rider's insertion tile, so the rider's 3x3 spill window
+recomputes it exactly); spill windows center on each spill's CARRIED
+tile, exchanged alongside the spill payload.  Only the f32 force-sum
+lane order becomes shard-history-dependent — the divergence class the
+single-chip engine already accepts for presort / dual_row / int_prio —
+so the 8-vs-1 tests for this mode assert allclose, not equality.
+Lifecycle counters (spawns, uids, despawns, migrations) remain exact.
 
 Scope: ``neighbor_backend == "grid_pallas"``; local planners must be
 slot-free (``NoLocalPlan``) or provide the fused kernel (``Zanlungo``).
@@ -70,7 +96,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import BACKEND_GRID_PALLAS, SimConfig
 from ..core.state import SimState, StepEvents
-from ..core.step import SimParams
+from ..core.step import SimParams, payload_sort_by_key
 from ..models.source_sink import GEN_CUSTOM, GEN_POISSON, SourceParams
 from ..ops import grid as grid_ops
 from ..ops.compact import compact_indices
@@ -82,7 +108,9 @@ from ..ops.zanlungo_pallas import (
     _POS_SENTINEL,
     BucketConfig,
     bucketize,
+    rank_from_sorted_key,
     sentinel_rows,
+    tile_key,
     zanlungo_forces_bucketed,
     zparams5,
 )
@@ -105,6 +133,9 @@ class WorldDiag:
     arrival_dropped: jax.Array     # [] int32 — arrivals with no free slot
     stray: jax.Array               # [] int32 — agents outside their
     #                                shard's region at force time
+    resorted: jax.Array            # [] int32 — shards that re-established
+    #                                their tile sort this step (== D in
+    #                                bitwise mode, which sorts every step)
 
 
 def _compact_rows(mask, k: int, arrays: dict):
@@ -148,7 +179,17 @@ def build_world_step(
     ``state`` is a standard global SimState whose agent dim is sharded
     ``P(WORLD_AXIS)``; agents must start in the region owning their
     position (``shard_state_by_region``).  ``migration_capacity`` bounds
-    per-direction leavers per shard per step (default ``max(8, M // 8)``).
+    per-direction leavers per shard per step (default ``max(8, M // 64)``
+    — the compaction gathers are per-row-bound at ~10 ns/row, so an
+    oversized buffer is a real per-step tax; leavers beyond it stay put
+    and retry next step, counted loudly in ``WorldDiag
+    .migration_overflow``).
+
+    With ``config.sharding_invariance == "tolerance"`` the returned step
+    takes and returns a per-shard skin carry: ``step(params, state, dt,
+    skin) -> (state, events, diag, skin)``; ``build_world_rollout``
+    threads it automatically (check the returned function's
+    ``tolerance_mode`` attribute).
     """
     assert config.neighbor_backend == BACKEND_GRID_PALLAS, (
         "the world-sharded engine needs the grid_pallas backend"
@@ -191,8 +232,18 @@ def build_world_step(
         f"capacity {config.capacity} must divide over {d} devices"
     )
     m = config.capacity // d
-    k_mig = int(migration_capacity) or max(8, m // 8)
+    k_mig = int(migration_capacity) or max(8, m // 64)
     f = config.jdtype
+
+    # Tolerance-invariance mode: per-shard skin-deferred presort (see the
+    # module docstring).  The skin margin is the single-chip one.
+    tol = config.sharding_invariance == "tolerance"
+    skin_margin = (float(cfg0.tile_size) - float(config.max_eyesight)) / 2.0
+    if tol and skin_margin <= 0.0:
+        raise ValueError(
+            "sharding_invariance='tolerance' needs tile_size > "
+            f"max_eyesight (margin {skin_margin}); use bucket_tile_size"
+        )
 
     def spawn_phase(sp: SourceParams, st: SimState, dt, key, i):
         """Phase A (lib.rs:199-254) with shard-local slot allocation and
@@ -276,18 +327,18 @@ def build_world_step(
         return st, spawned, dropped
 
     def local_forces(st: SimState, rec_vel, self_pref, lp_params, zp_tree,
-                     i):
+                     i, binning=None, key_c=None):
         """Per-shard canonical bucketize + halo exchange + fused kernel
         (+ exact spill repair with neighbor spill exchange when
         ``config.spill_capacity`` > 0).  Returns (vel [M,2], max_occ,
         truncated, stray) — vel only valid for fused-planner agents
-        (callers select per lp_idx)."""
-        # Canonical (tile, uid) candidate order: a uid pre-sort feeding
-        # bucketize's stable tile sort (sharding invariance — see module
-        # docstring).
-        uid_key = jnp.where(st.alive, st.uid, _I32_MAX)
-        ord_u = jnp.argsort(uid_key).astype(jnp.int32)
+        (callers select per lp_idx).
 
+        ``binning``/``key_c`` (tolerance mode only): the carried
+        (bpos, max_occ, n_over) from ``rank_from_sorted_key`` plus the
+        carried sorted tile keys — state is then already tile-sorted and
+        the canonical uid pre-sort, bucketize's internal sort, and every
+        per-row feature gather are skipped."""
         # Shift into the extended block: my region occupies columns
         # [H, cols_per + H); the H columns on each side are halo (filled
         # below).
@@ -329,24 +380,48 @@ def build_world_step(
         # packed plane afterwards (global-frame PX restore, halo splice),
         # so the force kernel takes its transpose fallback on the final
         # plane.
-        packed, _packed_T, bpos_perm, occ, dropped = bucketize(
-            ext_cfg,
-            pos_sh[ord_u],
-            st.velocity[ord_u],
-            st.preferred_vel[ord_u],
-            self_pref[ord_u],
-            st.priority[ord_u],
-            st.eyesight[ord_u],
-            rec_vel[ord_u],
-            st.alive[ord_u],
-            use_pack_kernel=config.use_pack_kernel,
-            interpret=config.pallas_interpret,
-            col_clip=(col_lo, col_hi),
-        )
-        bucket_pos = (
-            jnp.full((m,), ext_cfg.slots, jnp.int32)
-            .at[ord_u].set(bpos_perm)
-        )
+        if binning is not None:
+            # Tolerance mode: state is tile-sorted, binning carried — no
+            # sorts, no gathers (the bitwise path's dominant cost).
+            packed, _packed_T, bucket_pos, occ, dropped = bucketize(
+                ext_cfg,
+                pos_sh,
+                st.velocity,
+                st.preferred_vel,
+                self_pref,
+                st.priority,
+                st.eyesight,
+                rec_vel,
+                st.alive,
+                use_pack_kernel=config.use_pack_kernel,
+                interpret=config.pallas_interpret,
+                presorted=True,
+                binning=binning,
+            )
+        else:
+            # Canonical (tile, uid) candidate order: a uid pre-sort
+            # feeding bucketize's stable tile sort (bitwise sharding
+            # invariance — see module docstring).
+            uid_key = jnp.where(st.alive, st.uid, _I32_MAX)
+            ord_u = jnp.argsort(uid_key).astype(jnp.int32)
+            packed, _packed_T, bpos_perm, occ, dropped = bucketize(
+                ext_cfg,
+                pos_sh[ord_u],
+                st.velocity[ord_u],
+                st.preferred_vel[ord_u],
+                self_pref[ord_u],
+                st.priority[ord_u],
+                st.eyesight[ord_u],
+                rec_vel[ord_u],
+                st.alive[ord_u],
+                use_pack_kernel=config.use_pack_kernel,
+                interpret=config.pallas_interpret,
+                col_clip=(col_lo, col_hi),
+            )
+            bucket_pos = (
+                jnp.full((m,), ext_cfg.slots, jnp.int32)
+                .at[ord_u].set(bpos_perm)
+            )
 
         # Restore GLOBAL x in the packed rows.  Binning used the shifted
         # ext frame, but the pair math is difference-based and the halo
@@ -399,8 +474,8 @@ def build_world_step(
 
         if use_spills:
             out, vel_spill, sp_local_idx, n_sp, n_over = _patch_shard_spills(
-                st, pos_sh, rec_vel, self_pref, bucket_pos, ord_u, packed,
-                out, zp_tree, i,
+                st, pos_sh, rec_vel, self_pref, bucket_pos, packed,
+                out, zp_tree, i, key_c,
             )
             # bucketize's dropped = bucket overflow + pack-window
             # overflow; the patch resolves the former exactly.
@@ -416,7 +491,7 @@ def build_world_step(
         return vel, occ, dropped, stray
 
     def _patch_shard_spills(st, pos_sh, rec_vel, self_pref, bucket_pos,
-                            ord_u, packed, out, zp_tree, i):
+                            packed, out, zp_tree, i, key_c=None):
         """EXACT repair of bucket overflow on the world-sharded path:
         local spills are exchanged with both neighbors (a boundary
         hotspot's blast radius crosses shards), the merged list is
@@ -425,6 +500,14 @@ def build_world_step(
         block's 5x5 windows (the 2-column halos guarantee coverage).
         Patched rows are tolerance-level (not bitwise) across device
         counts: absent far-away spills shift summation lanes.
+
+        ``key_c`` (tolerance mode): the carried sorted tile keys — spill
+        windows then center on each spill's CARRIED tile (required for
+        exactness under carried binning: an affected query's STALE tile
+        is adjacent to the spill's STALE tile, not necessarily its fresh
+        one; same argument as the single-chip skin path,
+        ops/zanlungo_pallas.zanlungo_fused).  The stale tile travels
+        with the spill payload in GLOBAL column coordinates.
 
         Returns (out', spill velocities [s_cap, 2], their local agent
         indices [s_cap] (m for invalid), n_spill, n_beyond_cap)."""
@@ -447,6 +530,14 @@ def build_world_step(
             uid=jnp.where(sp_valid, st.uid[sc], _I32_MAX).astype(f32),
             valid=sp_valid.astype(f32),
         )
+        if key_c is not None:
+            # Carried (stale) tile of each spill, in GLOBAL column
+            # coordinates so the receiving shard can re-frame it.
+            tid = jnp.where(sp_valid, key_c[sc], 0)
+            payload["tcol"] = (
+                (tid // jnp.int32(cfg0.ty)) - H + i * cols_per
+            ).astype(f32)
+            payload["trow"] = (tid % jnp.int32(cfg0.ty)).astype(f32)
         perm_r = [(j, j + 1) for j in range(d - 1)]
         perm_l = [(j + 1, j) for j in range(d - 1)]
         from_left = jax.tree_util.tree_map(
@@ -493,12 +584,29 @@ def build_world_step(
             i == d - 1, jnp.int32(cols_per + H - 1),
             jnp.int32(ext_cfg.tx - 1),
         )
-        tcx = jnp.clip(jnp.floor(
-            (mpos_ext[:, 0] - cfg0.offset[0]) * inv_tile).astype(jnp.int32),
-            col_lo, col_hi)
-        tcy = jnp.clip(jnp.floor(
-            (mpos_ext[:, 1] - cfg0.offset[1]) * inv_tile).astype(jnp.int32),
-            0, cfg0.ty - 1)
+        if key_c is not None:
+            # Carried tiles (see docstring): re-frame each spill's GLOBAL
+            # stale tile column into MY extended block.  A far neighbor
+            # spill clips to my halo edge; the clipped window's query
+            # rows are still recomputed EXACTLY (queries = 3x3 around the
+            # center, candidates = the center's 5x5 superset + the spill
+            # list with the strict dist < eyesight pair mask), so a
+            # mis-centered far spill is idempotent, never wrong.
+            tcx = jnp.clip(
+                cat("tcol")[ord_s].astype(jnp.int32)
+                - i * jnp.int32(cols_per) + jnp.int32(H),
+                col_lo, col_hi,
+            )
+            tcy = jnp.clip(
+                cat("trow")[ord_s].astype(jnp.int32), 0, cfg0.ty - 1
+            )
+        else:
+            tcx = jnp.clip(jnp.floor(
+                (mpos_ext[:, 0] - cfg0.offset[0]) * inv_tile
+            ).astype(jnp.int32), col_lo, col_hi)
+            tcy = jnp.clip(jnp.floor(
+                (mpos_ext[:, 1] - cfg0.offset[1]) * inv_tile
+            ).astype(jnp.int32), 0, cfg0.ty - 1)
         tcx = jnp.where(mvalid, tcx, 1)
         tcy = jnp.where(mvalid, tcy, 1)
         sp = dict(
@@ -636,9 +744,13 @@ def build_world_step(
         lost = jax.lax.psum(
             jnp.sum((avalid & ~can).astype(jnp.int32)), WORLD_AXIS
         )
-        return st, migrated, overflow, lost
+        # Tolerance-mode bookkeeping: departures pack inert next step
+        # (fresh-dead masking); arrival SLOTS become riders (or, without
+        # the spill patch, invalidate the carry) — see local_step.
+        arr_mask = jnp.zeros((m,), jnp.bool_).at[tgt].set(True, mode="drop")
+        return st, migrated, overflow, lost, arr_mask
 
-    def local_step(params: SimParams, st: SimState, dt):
+    def local_step(params: SimParams, st: SimState, dt, skin=None):
         """The per-shard step body (inside shard_map)."""
         i = jax.lax.axis_index(WORLD_AXIS)
         dt = jnp.asarray(dt, f)
@@ -653,6 +765,86 @@ def build_world_step(
         else:
             spawned = jnp.zeros((m,), jnp.bool_)
             spawn_dropped = jnp.zeros((), jnp.int32)
+
+        # ---- Tolerance mode: per-shard skin-deferred presort ----------
+        # Mirrors core/step.py skin_mode, per shard: keep state TILE-
+        # SORTED (ext-frame keys with the world-edge col clip) and carry
+        # the binning.  Population churn does NOT force a re-sort:
+        # deaths (despawn / migration departure) pack inert via
+        # bucketize's fresh-dead masking, and — with the spill patch on —
+        # new agents (spawns here, migration arrivals in ``migrate``)
+        # ride the EXACT spill patch as unbinned "riders" (carried
+        # bpos == slots, carried key == their insertion tile) until the
+        # next re-sort.  Re-sorts trigger only on (a) an invalid carry,
+        # (b) an agent outrunning the skin margin, or (c) rider/spill
+        # pressure on the spill buffer (> 3/4 of s_cap).  Without the
+        # spill patch there is nowhere for new agents to ride, so spawns
+        # trigger and arrivals invalidate.  Shards re-sort independently
+        # — forces stay exact either way (module docstring).
+        binning = None
+        key_c = None
+        skin_vars = None
+        resorted = jnp.asarray(d, jnp.int32)  # bitwise sorts every step
+        if tol:
+            shift0 = (i.astype(f) * cols_per - H) * jnp.asarray(
+                cfg0.tile_size, f
+            )
+            col_lo0 = jnp.where(i == 0, jnp.int32(H), jnp.int32(0))
+            col_hi0 = jnp.where(
+                i == d - 1, jnp.int32(cols_per + H - 1),
+                jnp.int32(ext_cfg.tx - 1),
+            )
+            key_r = skin["key"]
+            bpos_r = skin["bpos"]
+            ref_r = skin["ref"]
+            need = ~skin["valid"][0]
+            if use_spills:
+                # Spawn riders: carried key = insertion tile (in MY ext
+                # frame), carried bpos = slots (unbinned -> spill patch).
+                pos_sh0 = st.position.at[:, 0].add(-shift0)
+                fresh_key = tile_key(
+                    ext_cfg, pos_sh0, st.alive,
+                    col_clip=(col_lo0, col_hi0),
+                )
+                key_r = jnp.where(spawned, fresh_key, key_r)
+                bpos_r = jnp.where(
+                    spawned, jnp.int32(ext_cfg.slots), bpos_r
+                )
+                ref_r = jnp.where(spawned[:, None], st.position, ref_r)
+                n_riding = jnp.sum(
+                    (st.alive & (bpos_r >= ext_cfg.slots)).astype(jnp.int32)
+                )
+                need = need | (n_riding > jnp.int32((3 * s_cap) // 4))
+            else:
+                need = need | jnp.any(spawned)
+            dref = jnp.abs(st.position - ref_r)
+            disp = jnp.max(
+                jnp.where(st.alive[:, None], dref, jnp.zeros((), f))
+            )
+            need = need | (disp > jnp.asarray(skin_margin, f))
+
+            def _do_sort(op):
+                st_, spwn_ = op
+                pos_sh_ = st_.position.at[:, 0].add(-shift0)
+                tkey = tile_key(
+                    ext_cfg, pos_sh_, st_.alive,
+                    col_clip=(col_lo0, col_hi0),
+                )
+                st2, spwn2, key_s = payload_sort_by_key(st_, tkey, spwn_)
+                bpos, occ, nover = rank_from_sorted_key(ext_cfg, key_s)
+                return st2, spwn2, key_s, bpos, occ, nover, st2.position
+
+            def _reuse(op):
+                st_, spwn_ = op
+                return (st_, spwn_, key_r, bpos_r,
+                        skin["max_occ"][0], skin["n_over"][0], ref_r)
+
+            (st, spawned, key_c, bpos_c, occ_c, nover_c, ref_c
+             ) = jax.lax.cond(need, _do_sort, _reuse, (st, spawned))
+            binning = (bpos_c, occ_c, nover_c)
+            skin_vars = (key_c, bpos_c, occ_c, nover_c, ref_c,
+                         shift0, col_lo0, col_hi0)
+            resorted = jax.lax.psum(need.astype(jnp.int32), WORLD_AXIS)
 
         # ---- Phase B: HL planners (local, elementwise) ----
         vel = jnp.zeros((m, 2), f)
@@ -676,7 +868,8 @@ def build_world_step(
                 zp = params.lp[pi]
                 z5 = zparams5(zp)
                 v, occ, dropped, stray_i = local_forces(
-                    st, vel, self_pref, z5, zp, i
+                    st, vel, self_pref, z5, zp, i,
+                    binning=binning, key_c=key_c,
                 )
                 max_occ = jnp.maximum(
                     max_occ, jax.lax.pmax(occ, WORLD_AXIS)
@@ -774,13 +967,43 @@ def build_world_step(
         # this step.  Current consumers (rollout counters, WorldDiag)
         # only reduce; slot-correlating host dispatch runs on the
         # single-device engine.
-        st, migrated, overflow, lost = migrate(st, i)
+        st, migrated, overflow, lost, arr_mask = migrate(st, i)
         diag = WorldDiag(
             migrated=migrated,
             migration_overflow=overflow,
             arrival_dropped=lost,
             stray=stray,
+            resorted=resorted,
         )
+        if tol:
+            (key_c2, bpos_c2, occ_c2, nover_c2, ref_c2,
+             shift0, col_lo0, col_hi0) = skin_vars
+            if use_spills:
+                # Arrival riders: carried key = their insertion tile in
+                # MY ext frame (post-integration position — that IS the
+                # rider's Verlet reference), bpos = slots (-> spill
+                # patch), ref = insertion position.  Departures/despawns
+                # need nothing: fresh-dead masking packs them inert.
+                pos_sh2 = st.position.at[:, 0].add(-shift0)
+                fresh_key2 = tile_key(
+                    ext_cfg, pos_sh2, st.alive,
+                    col_clip=(col_lo0, col_hi0),
+                )
+                key_c2 = jnp.where(arr_mask, fresh_key2, key_c2)
+                bpos_c2 = jnp.where(
+                    arr_mask, jnp.int32(ext_cfg.slots), bpos_c2
+                )
+                ref_c2 = jnp.where(arr_mask[:, None], st.position, ref_c2)
+                valid = jnp.ones((), jnp.bool_)
+            else:
+                # No spill patch: arrivals have nowhere to ride.
+                valid = ~jnp.any(arr_mask)
+            skin_out = dict(
+                key=key_c2, bpos=bpos_c2, ref=ref_c2,
+                max_occ=occ_c2[None], n_over=nover_c2[None],
+                valid=valid[None],
+            )
+            return st, events, diag, skin_out
         return st, events, diag
 
     def spec_of(x):
@@ -802,24 +1025,70 @@ def build_world_step(
         max_cell_occupancy=P(),
         neighbor_truncated=P(),
     )
-    diag_specs = WorldDiag(P(), P(), P(), P())
+    diag_specs = WorldDiag(P(), P(), P(), P(), P())
+    # Every skin leaf is leading-axis sharded: per-agent rows are [m]
+    # per shard; the per-shard flags/counters are [1] per shard ([D]
+    # global).
+    skin_specs = dict(
+        key=P(WORLD_AXIS), bpos=P(WORLD_AXIS), ref=P(WORLD_AXIS),
+        max_occ=P(WORLD_AXIS), n_over=P(WORLD_AXIS), valid=P(WORLD_AXIS),
+    )
 
-    def step(params, state: SimState, dt):
-        in_state_spec = jax.tree_util.tree_map(spec_of, state)
-        fn = jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(
-                jax.tree_util.tree_map(lambda _: P(), params),
-                in_state_spec,
-                P(),
-            ),
-            out_specs=(in_state_spec, ev_specs, diag_specs),
-            check_vma=False,
-        )
-        return fn(params, state, dt)
+    if tol:
+        def step(params, state: SimState, dt, skin):
+            in_state_spec = jax.tree_util.tree_map(spec_of, state)
+            fn = jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree_util.tree_map(lambda _: P(), params),
+                    in_state_spec,
+                    P(),
+                    skin_specs,
+                ),
+                out_specs=(in_state_spec, ev_specs, diag_specs,
+                           skin_specs),
+                check_vma=False,
+            )
+            return fn(params, state, dt, skin)
+    else:
+        def step(params, state: SimState, dt):
+            in_state_spec = jax.tree_util.tree_map(spec_of, state)
+            fn = jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree_util.tree_map(lambda _: P(), params),
+                    in_state_spec,
+                    P(),
+                ),
+                out_specs=(in_state_spec, ev_specs, diag_specs),
+                check_vma=False,
+            )
+            return fn(params, state, dt)
 
+    step.tolerance_mode = tol
     return step
+
+
+def init_world_skin(config: SimConfig, mesh: Mesh):
+    """Fresh (everywhere-invalid) skin carry for a tolerance-mode world
+    step — the first step re-sorts every shard.  Returns the carry dict
+    sharded for ``build_world_step``'s 4-argument variant."""
+    d = mesh.shape[WORLD_AXIS]
+    n = config.capacity
+    skin = dict(
+        key=jnp.zeros((n,), jnp.int32),
+        bpos=jnp.zeros((n,), jnp.int32),
+        ref=jnp.zeros((n, 2), config.jdtype),
+        max_occ=jnp.zeros((d,), jnp.int32),
+        n_over=jnp.zeros((d,), jnp.int32),
+        valid=jnp.zeros((d,), jnp.bool_),
+    )
+    shard = NamedSharding(mesh, P(WORLD_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard), skin
+    )
 
 
 def shard_state_by_region(config: SimConfig, mesh: Mesh,
@@ -900,6 +1169,7 @@ class WorldCounters:
     migration_overflow: jax.Array
     arrival_dropped: jax.Array
     stray: jax.Array
+    resorted: jax.Array
 
 
 def build_world_rollout(
@@ -916,28 +1186,55 @@ def build_world_rollout(
         config, hl_planners, lp_planners, mesh,
         migration_capacity=migration_capacity,
     )
+    tol = bool(getattr(step, "tolerance_mode", False))
+    d = mesh.shape[WORLD_AXIS]
     # The shard_map'd step nests under scan (specs are loop-invariant).
 
+    def _counters(st, ev, diag):
+        return WorldCounters(
+            n_alive=jnp.sum(st.alive.astype(jnp.int32)),
+            n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
+            n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
+            n_waypoint_reached=jnp.sum(
+                ev.waypoint_reached.astype(jnp.int32)
+            ),
+            spawn_dropped=ev.spawn_dropped,
+            out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
+            max_cell_occupancy=ev.max_cell_occupancy,
+            neighbor_truncated=ev.neighbor_truncated,
+            migrated=diag.migrated,
+            migration_overflow=diag.migration_overflow,
+            arrival_dropped=diag.arrival_dropped,
+            stray=diag.stray,
+            resorted=diag.resorted,
+        )
+
     def rollout(params, state, dt, n_steps: int):
+        if tol:
+            # Fresh (invalid) skin carry: the first step re-sorts every
+            # shard; later steps amortize (WorldCounters.resorted).
+            skin0 = dict(
+                key=jnp.zeros((config.capacity,), jnp.int32),
+                bpos=jnp.zeros((config.capacity,), jnp.int32),
+                ref=jnp.zeros((config.capacity, 2), config.jdtype),
+                max_occ=jnp.zeros((d,), jnp.int32),
+                n_over=jnp.zeros((d,), jnp.int32),
+                valid=jnp.zeros((d,), jnp.bool_),
+            )
+
+            def body(carry, _):
+                st, sk = carry
+                st, ev, diag, sk = step(params, st, dt, sk)
+                return (st, sk), _counters(st, ev, diag)
+
+            (state, _), cs = jax.lax.scan(
+                body, (state, skin0), None, length=int(n_steps)
+            )
+            return state, cs
+
         def body(st, _):
             st, ev, diag = step(params, st, dt)
-            c = WorldCounters(
-                n_alive=jnp.sum(st.alive.astype(jnp.int32)),
-                n_spawned=jnp.sum(ev.spawned.astype(jnp.int32)),
-                n_destroyed=jnp.sum(ev.destroyed.astype(jnp.int32)),
-                n_waypoint_reached=jnp.sum(
-                    ev.waypoint_reached.astype(jnp.int32)
-                ),
-                spawn_dropped=ev.spawn_dropped,
-                out_of_bounds=jnp.sum(ev.out_of_bounds.astype(jnp.int32)),
-                max_cell_occupancy=ev.max_cell_occupancy,
-                neighbor_truncated=ev.neighbor_truncated,
-                migrated=diag.migrated,
-                migration_overflow=diag.migration_overflow,
-                arrival_dropped=diag.arrival_dropped,
-                stray=diag.stray,
-            )
-            return st, c
+            return st, _counters(st, ev, diag)
 
         return jax.lax.scan(body, state, None, length=int(n_steps))
 

@@ -37,6 +37,7 @@ def test_domain_sharded_matches_single(seed):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_full_step_with_domain_mesh_matches_single():
     """build_step(world_mesh=...) runs the entire step with the force pass

@@ -25,6 +25,8 @@ from rmf_crowdsim_tpu import (
     Zanlungo,
 )
 
+pytestmark = pytest.mark.slow  # randomized differential sweeps, ~22 min
+
 
 def build(backend, seed, dtype="float32"):
     rng = np.random.default_rng(seed)

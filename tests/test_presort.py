@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmf_crowdsim_tpu import (
     ConstantVelocity,
@@ -92,6 +93,7 @@ def _run(presort: bool, n_steps=12):
     return agents, jax.device_get(counters)
 
 
+@pytest.mark.slow
 def test_presort_matches_unsorted_physics():
     """presort re-orders slots, not physics: uid-keyed trajectories agree
     with the unsorted engine at spill-patch tolerance (force sums run in

@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmf_crowdsim_tpu import (
     ConstantVelocity,
@@ -110,6 +111,7 @@ def _assert_match(st_a, st_b, atol=2e-4):
         np.testing.assert_allclose(a[u][1], b[u][1], atol=atol, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_skin_rollout_matches_per_step_sort_slow_scene():
     """Slow crowd: the skin path skips most sorts; trajectories must
     match the per-step-sort reference to kernel tolerance."""
@@ -121,6 +123,7 @@ def test_skin_rollout_matches_per_step_sort_slow_scene():
     _assert_match(st_skin, st_ref)
 
 
+@pytest.mark.slow
 def test_skin_rollout_matches_with_fast_agents():
     """Fast agents (0.9 m/step > 1.5 m margin within 2 steps) force
     resorts mid-rollout; trajectories must still match."""
@@ -131,6 +134,7 @@ def test_skin_rollout_matches_with_fast_agents():
     _assert_match(st_skin, st_ref)
 
 
+@pytest.mark.slow
 def test_skin_rollout_matches_with_source_sink():
     """Spawns and despawns invalidate the carried binning; streaming
     scene must match the per-step-sort reference exactly in population

@@ -47,6 +47,7 @@ def build(backend, dual_row=False):
     return sim
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dual_row", [False, True])
 def test_grid_pallas_matches_grid_trajectories(dual_row):
     sim_a = build("grid")

@@ -141,6 +141,7 @@ def test_pallas_bucket_overflow_raises_without_spill_patch():
         sim.step(1.0 / 60.0)
 
 
+@pytest.mark.slow
 def test_pallas_bucket_overflow_repaired_by_spill_patch():
     """Default config: the same overflowing scene steps cleanly — the
     spill patch recomputes the overflow agents and their neighborhoods
@@ -174,6 +175,7 @@ def test_brute_backend_never_truncates():
     assert int(sim.last_events.neighbor_truncated) == 0
 
 
+@pytest.mark.slow
 def test_pallas_spill_dense_hotspot_full_scatter_branch():
     """Dense-hotspot spill repair parity through the FULL-SCATTER branch.
 

@@ -32,7 +32,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def make_scene(capacity=128, dual_row=False):
+def make_scene(capacity=128, dual_row=False, invariance="bitwise",
+               tile=0.0, spill=0):
     """A streaming scene whose agents cross all 8 region boundaries:
     sources on the left edge, sinks on the right, Zanlungo forces on."""
     cfg = SimConfig(
@@ -48,6 +49,9 @@ def make_scene(capacity=128, dual_row=False):
         dtype="float32",
         on_truncation="ignore",
         dual_row=dual_row,
+        sharding_invariance=invariance,
+        bucket_tile_size=tile,
+        spill_capacity=spill,
     )
     hl = ConstantVelocity((1.5, 0.0))
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
@@ -74,8 +78,12 @@ def make_scene(capacity=128, dual_row=False):
     return cfg, hl, lp, params, state
 
 
-def run_world(n_devices: int, n_steps: int = 40, dual_row=False):
-    cfg, hl, lp, params, state = make_scene(dual_row=dual_row)
+def run_world(n_devices: int, n_steps: int = 40, dual_row=False,
+              invariance="bitwise", tile=0.0, capacity=128, spill=0):
+    cfg, hl, lp, params, state = make_scene(
+        capacity=capacity, dual_row=dual_row, invariance=invariance,
+        tile=tile, spill=spill,
+    )
     mesh = jax.sharding.Mesh(
         np.asarray(jax.devices()[:n_devices]), (WORLD_AXIS,)
     )
@@ -130,6 +138,7 @@ def test_world_sharded_matches_single_device_bitwise(dual_row):
         )
 
 
+@pytest.mark.slow
 def test_world_sharded_matches_general_rollout():
     """The world engine's physics agrees with the general single-device
     rollout (same scene) — tolerance-level (force sums are ordered
@@ -154,7 +163,7 @@ def test_world_sharded_matches_general_rollout():
     )
 
 
-def make_hotspot_scene(capacity=512):
+def make_hotspot_scene(capacity=512, invariance="bitwise", tile=0.0):
     """Closed scene with a dense cluster straddling a shard boundary
     (x = 12 of 8 x 6 m regions): bucket overflow whose blast radius
     crosses shards — exercises the neighbor spill exchange."""
@@ -171,6 +180,8 @@ def make_hotspot_scene(capacity=512):
         pallas_interpret=True,
         dtype="float32",
         on_truncation="ignore",
+        sharding_invariance=invariance,
+        bucket_tile_size=tile,
     )
     hl = ConstantVelocity((0.6, 0.2))
     lp = Zanlungo(agent_scale=1.0, obstacle_scale=1.0, reaction_time=0.0,
@@ -204,8 +215,10 @@ def make_hotspot_scene(capacity=512):
     return cfg, hl, lp, params, state
 
 
-def _run_hotspot(n_devices, n_steps=8):
-    cfg, hl, lp, params, state = make_hotspot_scene()
+def _run_hotspot(n_devices, n_steps=8, invariance="bitwise", tile=0.0):
+    cfg, hl, lp, params, state = make_hotspot_scene(
+        invariance=invariance, tile=tile
+    )
     mesh = jax.sharding.Mesh(
         np.asarray(jax.devices()[:n_devices]), (WORLD_AXIS,)
     )
@@ -220,6 +233,7 @@ def _run_hotspot(n_devices, n_steps=8):
             jax.device_get(c))
 
 
+@pytest.mark.slow
 def test_world_sharded_boundary_hotspot_repaired():
     """Bucket overflow at a shard boundary: the spill exchange + patch
     keep physics exact (zero truncation) and sharding-consistent at
@@ -248,6 +262,100 @@ def test_world_sharded_boundary_hotspot_repaired():
     assert ref.keys() == a1.keys()
     r = np.asarray([ref[k] for k in sorted(ref)])
     np.testing.assert_allclose(r, w, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# sharding_invariance="tolerance": per-shard skin-deferred presort
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dual_row,spill", [(False, 0), (True, 0),
+                                            (False, 32)])
+def test_world_tolerance_matches_single_device(dual_row, spill):
+    """Tolerance mode (per-shard carried binning): 8-device vs 1-device
+    runs agree at f32 tolerance (neighbor sets and forces are EXACT;
+    only force-sum lane order depends on shard history), and lifecycle
+    counters stay exactly equal.  bucket_tile_size=4 gives the positive
+    skin margin ((4 - 3)/2) the mode requires.  spill=32 turns on the
+    RIDER path: spawns and migration arrivals stay unbinned on the
+    exact spill patch instead of forcing per-shard re-sorts."""
+    a8, c8, _ = run_world(8, dual_row=dual_row, invariance="tolerance",
+                          tile=4.0, capacity=256, spill=spill)
+    a1, c1, _ = run_world(1, dual_row=dual_row, invariance="tolerance",
+                          tile=4.0, capacity=256, spill=spill)
+
+    assert int(np.sum(np.asarray(c8.migrated))) > 0
+    assert int(np.sum(np.asarray(c8.migration_overflow))) == 0
+    assert int(np.sum(np.asarray(c8.arrival_dropped))) == 0
+    assert a8.keys() == a1.keys()
+    assert len(a8) > 20
+    for k in a8:
+        np.testing.assert_allclose(
+            np.asarray(a8[k]), np.asarray(a1[k]), rtol=1e-5, atol=1e-5,
+            err_msg=str(k),
+        )
+        assert a8[k][4] == a1[k][4]  # next_waypoint exact
+
+    # Lifecycle counters are EXACT in tolerance mode too.
+    for name in ("n_alive", "n_spawned", "n_destroyed",
+                 "n_waypoint_reached", "spawn_dropped"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c8, name)), np.asarray(getattr(c1, name)),
+            err_msg=name,
+        )
+
+
+def test_world_tolerance_matches_bitwise_mode():
+    """Tolerance vs bitwise mode on the same 8-device scene: identical
+    physics at f32 tolerance, identical lifecycle counters — and the
+    tolerance run actually AMORTIZES its sorts (resorted < D * steps,
+    the mode's whole point)."""
+    at, ct, _ = run_world(8, invariance="tolerance", tile=4.0, capacity=256)
+    ab, cb, _ = run_world(8, invariance="bitwise", tile=4.0, capacity=256)
+
+    assert at.keys() == ab.keys()
+    for k in at:
+        np.testing.assert_allclose(
+            np.asarray(at[k]), np.asarray(ab[k]), rtol=1e-5, atol=1e-5,
+            err_msg=str(k),
+        )
+    for name in ("n_alive", "n_spawned", "n_destroyed",
+                 "n_waypoint_reached", "spawn_dropped"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ct, name)), np.asarray(getattr(cb, name)),
+            err_msg=name,
+        )
+    n_steps = np.asarray(cb.resorted).shape[0]
+    assert int(np.sum(np.asarray(cb.resorted))) == 8 * n_steps
+    assert int(np.sum(np.asarray(ct.resorted))) < 8 * n_steps
+
+
+@pytest.mark.slow
+def test_world_tolerance_hotspot_carried_spills():
+    """Boundary-hotspot bucket overflow under CARRIED binning: spill
+    windows center on the carried (stale) tiles exchanged with the spill
+    payload — physics must stay exact (zero truncation) and match the
+    bitwise mode at tolerance, while sorts amortize (dt=0.2 at ~0.6 m/s
+    stays under the 0.5 m skin margin for several steps)."""
+    at, ct = _run_hotspot(8, invariance="tolerance", tile=4.0)
+    assert int(np.sum(np.asarray(ct.neighbor_truncated))) == 0
+    assert int(np.max(np.asarray(ct.max_cell_occupancy))) > 16
+    n_steps = np.asarray(ct.resorted).shape[0]
+    assert int(np.sum(np.asarray(ct.resorted))) < 8 * n_steps
+
+    ab, cb = _run_hotspot(8, invariance="bitwise", tile=4.0)
+    assert int(np.sum(np.asarray(cb.neighbor_truncated))) == 0
+    assert at.keys() == ab.keys()
+    g = np.asarray([at[k] for k in sorted(at)])
+    w = np.asarray([ab[k] for k in sorted(ab)])
+    np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+    # And 8-vs-1 tolerance-mode consistency on the same hotspot.
+    a1, c1 = _run_hotspot(1, invariance="tolerance", tile=4.0)
+    assert int(np.sum(np.asarray(c1.neighbor_truncated))) == 0
+    assert at.keys() == a1.keys()
+    s = np.asarray([a1[k] for k in sorted(a1)])
+    np.testing.assert_allclose(g, s, rtol=1e-5, atol=1e-5)
 
 
 def make_edge_scene(capacity=512):
@@ -324,6 +432,7 @@ def make_edge_scene(capacity=512):
     return cfg, [hl_r, hl_l], lp, params, state
 
 
+@pytest.mark.slow
 def test_world_edge_clamp_matches_general():
     """Out-of-world agents keep their force interactions via the edge-tile
     clamp, on 8 devices and 1, matching the general rollout."""
@@ -381,6 +490,7 @@ def test_world_edge_clamp_matches_general():
         )
 
 
+@pytest.mark.slow
 def test_world_shard_capacity_spawn_drop_divergence():
     """THE one documented capacity-pressure divergence: a spawn drops
     when its shard is full even though the global array has room; uids
@@ -510,6 +620,7 @@ def make_closing_pair_scene(capacity=16):
     return cfg, [hl_r, hl_l], [lp], params, state
 
 
+@pytest.mark.slow
 def test_world_cross_boundary_forces_match_general():
     """Cross-shard pairs must feel each other: world(8) == world(1)
     BITWISE (global ROW_PX keeps the pair math frame-free) and both

@@ -73,6 +73,7 @@ def test_fused_matches_oracle(seed):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fused_dual_row_matches_oracle(seed):
     """dual_row tier: tile-half query groups in 64-lane segments.  Same
@@ -99,6 +100,7 @@ def test_fused_dual_row_matches_oracle(seed):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_dual_row_overflow_tiers():
     """Density tuned so half-unions exceed the 64-lane segment (dual
     falls back to the shared tier) without bucket overflow: the mixed
@@ -320,6 +322,7 @@ def test_pack_kernel_dead_tail_not_counted_as_overflow():
     )
 
 
+@pytest.mark.slow
 def test_spill_patch_repairs_overflow_exactly():
     """Bucket overflow with spill_capacity > 0 must match the oracle for
     EVERY agent — including the overflow agents and their neighbors (the
@@ -462,6 +465,7 @@ def test_spill_patch_cap_overrun_is_counted():
     assert int(dropped) > 0
 
 
+@pytest.mark.slow
 def test_spill_patch_repairs_overflow_at_world_edge():
     """Hotspot in the world's CORNER tile: the clamped 5x5 window and the
     dynamically-positioned query block must still cover every affected
