@@ -155,15 +155,13 @@ def _compact_rows(mask, k: int, arrays: dict):
     return out, c.n_over
 
 
-def _free_slot_targets(alive):
-    """Ascending free-slot index for each rank (padded with M)."""
-    m = alive.shape[0]
-    free = ~alive
-    n_free = jnp.sum(free.astype(jnp.int32))
-    slot_of_rank = jnp.sort(
-        jnp.where(free, jnp.arange(m, dtype=jnp.int32), jnp.int32(m))
-    )
-    return slot_of_rank, n_free
+def _free_slot_targets(alive, k: int):
+    """First ``k`` free-slot indices in ascending order (padded with M)
+    plus the total free count.  compact_indices (cumsum + searchsorted)
+    — a full [M] sort for a handful of ranks costs ~0.3 ms/step at
+    M ~= 100k; the compaction picks the SAME slots bitwise."""
+    c = compact_indices(~alive, k)
+    return c.idx, c.count
 
 
 def build_world_step(
@@ -281,10 +279,10 @@ def build_world_step(
         )
         mine = want & (own == i)
         local_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
-        slot_of_rank, n_free = _free_slot_targets(st.alive)
+        slot_of_rank, n_free = _free_slot_targets(st.alive, s)
         can = mine & (local_rank < n_free)
-        slot = slot_of_rank[jnp.clip(local_rank, 0, m - 1)]
-        tgt = jnp.where(can, slot, jnp.int32(m))
+        slot = slot_of_rank[jnp.clip(local_rank, 0, s - 1)]
+        tgt = jnp.where(can, jnp.clip(slot, 0, m - 1), jnp.int32(m))
 
         # uids advance by the COMMITTED count, matching the single-device
         # step (core/step.py): each source is owned by exactly one shard,
@@ -623,46 +621,76 @@ def build_world_step(
                 jnp.arange(n_merged, dtype=f32) + float(3 * m), -1.0
             ),
         )
-        def run_patch(o):
-            g_out, q_id, _q_slots = _spill_groups(
-                ext_cfg, zp_tree, packed, sp, tcx, tcy, mvalid, chunk=16,
-                interpret=config.pallas_interpret,
-                int_prio=getattr(config, "integer_priorities", False),
-            )
-            # Window-query outputs, written straight to their packed
-            # slots.  ROW_ID < m are MY rows; halo rows (>= m) belong to
-            # neighbors, who recompute them identically on their side.
-            win_id = q_id[:, :-1].astype(jnp.int32)
-            win_ok = (win_id >= 0) & (win_id < m)
-            tgt_slot = jnp.where(win_ok, _q_slots, jnp.int32(ext_cfg.slots))
-            o = o.at[tgt_slot.reshape(-1)].set(
-                g_out[:, :-1].reshape(-1, 2), mode="drop"
-            )
-            # Own spill rows' velocities, keyed back to local agent
-            # indices (same compacted order for both scatters).
-            sp_vel_sorted = g_out[:, -1]
-            mlocal_sorted = mlocal[ord_s]
-            own = mlocal_sorted < m
-            own_rank = jnp.where(
-                own, jnp.cumsum(own.astype(jnp.int32)) - 1, s_cap
-            )
-            vel_spill = jnp.zeros((s_cap, 2), f32).at[own_rank].set(
-                sp_vel_sorted, mode="drop"
-            )
-            own_idx = jnp.full((s_cap,), m, jnp.int32).at[own_rank].set(
-                mlocal_sorted, mode="drop"
-            )
-            return o, vel_spill, own_idx
+        mlocal_sorted = mlocal[ord_s]
+        n_valid = jnp.sum(mvalid.astype(jnp.int32))
+
+        def make_patch(cap: int):
+            """Evaluate only the first ``cap`` merged spills — the uid
+            sort puts every valid spill first, so this is exact whenever
+            n_valid <= cap.  The group machinery's cost scales with its
+            STATIC cap (like spill_patch's tiers); at typical spill
+            counts (a handful) the smallest tier is ~n_merged/cap times
+            cheaper than evaluating the full exchange buffer."""
+
+            def run(o):
+                g_out, q_id, _q_slots = _spill_groups(
+                    ext_cfg, zp_tree, packed,
+                    {k_: v_[:cap] for k_, v_ in sp.items()},
+                    tcx[:cap], tcy[:cap], mvalid[:cap], chunk=16,
+                    interpret=config.pallas_interpret,
+                    int_prio=getattr(config, "integer_priorities", False),
+                )
+                # Window-query outputs, written straight to their packed
+                # slots.  ROW_ID < m are MY rows; halo rows (>= m) belong
+                # to neighbors, who recompute them identically.
+                win_id = q_id[:, :-1].astype(jnp.int32)
+                win_ok = (win_id >= 0) & (win_id < m)
+                tgt_slot = jnp.where(
+                    win_ok, _q_slots, jnp.int32(ext_cfg.slots)
+                )
+                o = o.at[tgt_slot.reshape(-1)].set(
+                    g_out[:, :-1].reshape(-1, 2), mode="drop"
+                )
+                # Own spill rows' velocities, keyed back to local agent
+                # indices (same compacted order for both scatters).
+                sp_vel_sorted = g_out[:, -1]
+                ml = mlocal_sorted[:cap]
+                own = ml < m
+                own_rank = jnp.where(
+                    own, jnp.cumsum(own.astype(jnp.int32)) - 1, s_cap
+                )
+                vel_spill = jnp.zeros((s_cap, 2), f32).at[own_rank].set(
+                    sp_vel_sorted, mode="drop"
+                )
+                own_idx = jnp.full((s_cap,), m, jnp.int32).at[
+                    own_rank
+                ].set(ml, mode="drop")
+                return o, vel_spill, own_idx
+
+            return run
 
         def skip_patch(o):
             return (o, jnp.zeros((s_cap, 2), f32),
                     jnp.full((s_cap,), m, jnp.int32))
 
-        # The group machinery has a fixed shape cost; skip it on shards
-        # with no spill in reach (the ppermute exchange above stays
-        # unconditional — collectives must run on every shard).
+        tiers = sorted({min(16, n_merged), min(48, n_merged),
+                        min(128, n_merged), n_merged})
+
+        def dispatch(ti, o):
+            cap = tiers[ti]
+            if ti + 1 == len(tiers):
+                return make_patch(cap)(o)
+            return jax.lax.cond(
+                n_valid <= cap, make_patch(cap),
+                lambda oo: dispatch(ti + 1, oo), o,
+            )
+
+        # The group machinery has a fixed shape cost per tier; skip it
+        # entirely on shards with no spill in reach (the ppermute
+        # exchange above stays unconditional — collectives must run on
+        # every shard).
         out, vel_spill, own_idx = jax.lax.cond(
-            jnp.any(mvalid), run_patch, skip_patch, out
+            n_valid > 0, lambda o: dispatch(0, o), skip_patch, out
         )
         return out, vel_spill, own_idx, n_spill, n_over
 
@@ -713,10 +741,13 @@ def build_world_step(
         }
         avalid = jnp.concatenate([lv, rv], axis=0)
         a_rank = jnp.cumsum(avalid.astype(jnp.int32)) - 1
-        slot_of_rank, n_free = _free_slot_targets(st.alive)
+        slot_of_rank, n_free = _free_slot_targets(st.alive, 2 * k_mig)
         can = avalid & (a_rank < n_free)
         tgt = jnp.where(
-            can, slot_of_rank[jnp.clip(a_rank, 0, m - 1)], jnp.int32(m)
+            can,
+            jnp.clip(slot_of_rank[jnp.clip(a_rank, 0, 2 * k_mig - 1)],
+                     0, m - 1),
+            jnp.int32(m),
         )
 
         def ins(arr, vals):
