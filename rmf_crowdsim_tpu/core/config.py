@@ -123,6 +123,17 @@ class SimConfig:
     # the patch (overflow then truncates, loudly).  Overruns surface
     # through neighbor_truncated.
     spill_capacity: int = 128
+    # Fused spill repair (single-chip grid_pallas path): the first
+    # min(128, spill_capacity) spills ride the MAIN force kernel as a
+    # fourth candidate segment on flagged sub-blocks, so affected packed
+    # queries are exact in one pass and only the spills' own rows run a
+    # small oracle-math pass — replacing spill_patch's per-spill window
+    # recompute + scatter (~6 ms at the 1M bench).  Affected queries'
+    # f32 force sums append spill addends after the window lanes (the
+    # patch's recompute order differed too — same tolerance class).
+    # Spill storms past the fused segment fall back to the full patch.
+    # False restores the patch for every spill.
+    fused_spills: bool = True
     # Keep agent state tile-sorted across steps (grid_pallas backend
     # only): each step re-sorts the whole SoA state by supertile with ONE
     # lax.sort-with-payloads (~30 ms at 1M), letting bucketize skip its

@@ -592,6 +592,8 @@ def build_step(
                                          False),
                         dual_row=getattr(config, "dual_row", False),
                         binning=binning,
+                        fused_spills=getattr(config, "fused_spills",
+                                             True),
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped

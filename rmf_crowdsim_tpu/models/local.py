@@ -409,7 +409,8 @@ class Zanlungo(LocalPlanner):
                    self_pref, interpret: bool = False, world_mesh=None,
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
                    presorted: bool = False, int_prio: bool = False,
-                   dual_row: bool = False, binning=None):
+                   dual_row: bool = False, binning=None,
+                   fused_spills: bool = True):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns
@@ -442,4 +443,5 @@ class Zanlungo(LocalPlanner):
             rec_vel, interpret=interpret, use_pack_kernel=use_pack_kernel,
             spill_capacity=spill_capacity, presorted=presorted,
             int_prio=int_prio, dual_row=dual_row, binning=binning,
+            fused_spills=fused_spills,
         )

@@ -652,7 +652,8 @@ def _strip_shifts(cfg: BucketConfig) -> Tuple[int, ...]:
 def _make_kernel(cfg: BucketConfig,
                  compact_pass2: bool = True,
                  int_prio: bool = False,
-                 dual_row: bool = False):
+                 dual_row: bool = False,
+                 spill_lanes: int = 0):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
@@ -664,6 +665,11 @@ def _make_kernel(cfg: BucketConfig,
     ty, tx = cfg.ty, cfg.tx
 
     C = 128        # compute width: the true (sub_tiles + 2)-tile halo
+    # Fused spill lanes (spill_lanes == C so every compaction segment is
+    # one 128-lane window and the [C, C] tri matrix is shared): bucket-
+    # overflow agents ride a FOURTH candidate segment on flagged
+    # sub-blocks — see zanlungo_fused's fused-spill block.
+    assert spill_lanes in (0, C), spill_lanes
     col_slots_s = ty * B
     # Strip-resident segment: tiles [py0 - 1, py0 + strip + 1) plus
     # alignment slack, clamped to the column.
@@ -687,8 +693,8 @@ def _make_kernel(cfg: BucketConfig,
 
     n_strips_k = ty // strip
 
-    def kernel(zp_ref, cnt_ref, packed_any, qt_ref, out_ref, strips_r,
-               sem):
+    def _body(zp_ref, cnt_ref, sflag_ref, packed_any, qt_ref, sp_ref,
+              out_ref, strips_r, sem):
         # cnt_ref: [n_blocks] i32 scalar-prefetch — live-query count per
         # sub-block (contiguous slot ranges; computed from the transposed
         # plane's ID row by the wrapper).  Occupancy-adaptive execution:
@@ -799,6 +805,16 @@ def _make_kernel(cfg: BucketConfig,
             rj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
             tri = (ci < rj).astype(jnp.float32)
 
+        if spill_lanes:
+            # Fused-spill candidate plane: [NUM_CAND, spill_lanes] f32,
+            # read once per program (id -1 on dead lanes).  sflag_ref
+            # [n_blocks] i32 marks sub-blocks with a live spill within
+            # one tile (Chebyshev) of a query tile — only those pay the
+            # fourth compaction segment (~1-2% of sub-blocks at bench
+            # spill counts).
+            sp_feat = sp_ref[...]
+            sp_ok = sp_feat[ROW_ID:ROW_ID + 1, :] >= 0
+
         def sub_block(s, _):
             @pl.when(cnt_ref[cnt_base + s] > 0)
             def _live_sub_block():
@@ -873,27 +889,38 @@ def _make_kernel(cfg: BucketConfig,
 
             lane_oks = [lane_ok_k(k) for k in range(3)]
 
-            def window_masks():
-                """Full-width candidate masks per window — FALLBACK-only
+            # Candidate segments: the three 128-lane windows, plus (on
+            # flagged sub-blocks) the fused spill plane as a FOURTH
+            # 128-lane segment — bucket-overflow agents become ordinary
+            # candidates absorbed by the same bbox/rank/compaction
+            # machinery (each segment is C lanes, so the [C, C] tri and
+            # every per-segment pass are shape-uniform).
+            segs3 = [(rolled[k], lane_oks[k]) for k in range(3)]
+
+            def srow(seg, r):
+                return seg[0][r:r + 1, :]
+
+            def window_masks(segs):
+                """Full-width candidate masks per segment — FALLBACK-only
                 (union overflow): the compacted tiers never pay the
                 [sub_q, 3C] distance pass; their unions come from the
                 [1, 3C] bbox test below and exact per-pair masks are
                 recomputed on the compacted lanes."""
                 masks = []
-                for k in range(3):
-                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
-                    cid_ = crow(k, ROW_ID)
+                for sg in segs:
+                    cpx_, cpy_ = srow(sg, ROW_PX), srow(sg, ROW_PY)
+                    cid_ = srow(sg, ROW_ID)
                     dx = cpx_ - qpx_
                     dy = cpy_ - qpy_
                     dist2 = dx * dx + dy * dy
                     masks.append(
                         (dist2 < qeye_ * qeye_)
                         & (cid_ != qid_)
-                        & lane_oks[k]
+                        & sg[1]
                     )
                 return masks
 
-            def bbox_union(q_sl):
+            def bbox_union(q_sl, segs):
                 """Candidate-union SUPERSET for the query rows ``q_sl``
                 (a static slice) at [1, 3C] cost instead of the exact
                 union's [len(q_sl), 3C] mask pass: a candidate within
@@ -927,8 +954,8 @@ def _make_kernel(cfg: BucketConfig,
                 eye = jnp.max(qeye_[q_sl], axis=0, keepdims=True)
                 eye2 = eye * eye
                 parts = []
-                for k in range(3):
-                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
+                for sg in segs:
+                    cpx_, cpy_ = srow(sg, ROW_PX), srow(sg, ROW_PY)
                     dx = jnp.maximum(
                         jnp.maximum(lo_x - cpx_, cpx_ - hi_x), 0.0
                     )
@@ -936,10 +963,10 @@ def _make_kernel(cfg: BucketConfig,
                         jnp.maximum(lo_y - cpy_, cpy_ - hi_y), 0.0
                     )
                     parts.append(jnp.where(
-                        lane_oks[k] & (dx * dx + dy * dy < eye2),
+                        sg[1] & (dx * dx + dy * dy < eye2),
                         1.0, 0.0,
                     ))
-                return jnp.concatenate(parts, axis=1)  # [1, 3C] f32 0/1
+                return jnp.concatenate(parts, axis=1)  # [1, nseg*C] 0/1
 
             def write_out(t_i, fx, fy):
                 # Forces apply only when some neighbor has finite TTC
@@ -953,14 +980,14 @@ def _make_kernel(cfg: BucketConfig,
                 out_ref[pl.ds(q0, sub_q), 0:1] = out_x
                 out_ref[pl.ds(q0, sub_q), 1:2] = out_y
 
-            def full_passes():
+            def full_passes(segs):
                 # ---- full-width TTC (zanlungo.rs:76-91) + force
-                # accumulation (zanlungo.rs:201-218) over the 3 windows.
-                masks = window_masks()
+                # accumulation (zanlungo.rs:201-218) over the segments.
+                masks = window_masks(segs)
                 t_i = jnp.full((sub_q, 1), inf, jnp.float32)
-                for k in range(3):
-                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
-                    cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
+                for k, sg in enumerate(segs):
+                    cpx_, cpy_ = srow(sg, ROW_PX), srow(sg, ROW_PY)
+                    cvx_, cvy_ = srow(sg, ROW_VX), srow(sg, ROW_VY)
                     ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
                                        cvx_, cvy_, cpx_, cpy_, radius)
                     ttc = jnp.where(masks[k], ttc, inf)
@@ -969,11 +996,11 @@ def _make_kernel(cfg: BucketConfig,
                     )
                 fx = jnp.zeros((sub_q, 1), jnp.float32)
                 fy = jnp.zeros((sub_q, 1), jnp.float32)
-                for k in range(3):
-                    cpx_, cpy_ = crow(k, ROW_PX), crow(k, ROW_PY)
-                    cvx_, cvy_ = crow(k, ROW_VX), crow(k, ROW_VY)
-                    cfx_, cfy_ = crow(k, ROW_FX), crow(k, ROW_FY)
-                    cprio_ = crow(k, ROW_PRIO)
+                for k, sg in enumerate(segs):
+                    cpx_, cpy_ = srow(sg, ROW_PX), srow(sg, ROW_PY)
+                    cvx_, cvy_ = srow(sg, ROW_VX), srow(sg, ROW_VY)
+                    cfx_, cfy_ = srow(sg, ROW_FX), srow(sg, ROW_FY)
+                    cprio_ = srow(sg, ROW_PRIO)
                     pfx, pfy = _pair_force(
                         zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_,
                         qprio_, cpx_, cpy_, cvx_, cvy_, cfx_, cfy_, cprio_,
@@ -982,10 +1009,6 @@ def _make_kernel(cfg: BucketConfig,
                     fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
                     fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
                 write_out(t_i, fx, fy)
-
-            if not compact_pass2:
-                full_passes()
-                return
 
             # ---- COMPACTED passes: the ~8 true neighbors per query are
             # a sliver of the 3*C candidate lanes, so full-width math is
@@ -1010,258 +1033,299 @@ def _make_kernel(cfg: BucketConfig,
             # sums therefore hold the same addends, though the reduction
             # tree groups them differently (ULP-level vs the shared path
             # — tolerance-tested, like oracle parity).
-            if dual_row:
-                H = sub_q // 2
-                u0 = bbox_union(slice(0, H))            # [1, 3C]
-                u1 = bbox_union(slice(H, sub_q))        # [1, 3C]
-                # Exact 0/1 union: avoids a bool select (i1 relayout).
-                u = u0 + u1 - u0 * u1                   # [1, 3C]
-                c0 = jnp.sum(u0)
-                c1 = jnp.sum(u1)
-            else:
-                u = bbox_union(slice(0, sub_q))         # [1, 3C]
-            count = jnp.sum(u)
+            def tier_section(segs):
+                nseg = len(segs)
+                if not compact_pass2:
+                    full_passes(segs)
+                    return
+                _compacted_tiers(segs, nseg)
 
-            def tri_rank(uv):
-                # Exclusive prefix count via triangular matmul (exact
-                # integer counts in f32): rank[r] = #union lanes before
-                # r.  DEFAULT precision is EXACT here: both operands are
-                # 0/1 (lossless in bf16) and the MXU accumulates in f32
-                # — one pass instead of HIGHEST's multi-pass
-                # decomposition.  Applied per 128-lane window with
-                # row-sum carry offsets (see the tri build comment).
-                parts = []
-                off = None
-                for k in range(3):
-                    seg = uv[:, k * C:(k + 1) * C]
-                    r = jax.lax.dot_general(
-                        seg, tri, (((1,), (0,)), ((), ())),
+            def _compacted_tiers(segs, nseg):
+                if dual_row:
+                    H = sub_q // 2
+                    u0 = bbox_union(slice(0, H), segs)      # [1, nseg*C]
+                    u1 = bbox_union(slice(H, sub_q), segs)
+                    # Exact 0/1 union: avoids a bool select (i1 relayout).
+                    u = u0 + u1 - u0 * u1                   # [1, nseg*C]
+                    c0 = jnp.sum(u0)
+                    c1 = jnp.sum(u1)
+                else:
+                    u = bbox_union(slice(0, sub_q), segs)   # [1, nseg*C]
+                count = jnp.sum(u)
+
+                def tri_rank(uv):
+                    # Exclusive prefix count via triangular matmul (exact
+                    # integer counts in f32): rank[r] = #union lanes
+                    # before r.  DEFAULT precision is EXACT here: both
+                    # operands are 0/1 (lossless in bf16) and the MXU
+                    # accumulates in f32 — one pass instead of HIGHEST's
+                    # multi-pass decomposition.  Applied per 128-lane
+                    # window with row-sum carry offsets (see the tri
+                    # build comment).
+                    parts = []
+                    off = None
+                    for k in range(nseg):
+                        seg = uv[:, k * C:(k + 1) * C]
+                        r = jax.lax.dot_general(
+                            seg, tri, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        parts.append(r if off is None else r + off)
+                        if k < nseg - 1:
+                            s = jnp.sum(seg, axis=1, keepdims=True)
+                            off = s if off is None else off + s
+                    return jnp.concatenate(parts, axis=1)
+
+                def split3(wv):
+                    # EXACT 3-term bf16 split: each term is EXACTLY a
+                    # bf16 value (successive 8-bit significand slices of
+                    # the 24-bit f32 significand), so returning them AS
+                    # bf16 is lossless; (hi + mid) + lo reconstructs the
+                    # f32 value bitwise when each output sums one
+                    # selected column.
+                    hi = wv.astype(jnp.bfloat16)
+                    r1 = wv - hi.astype(jnp.float32)
+                    mid = r1.astype(jnp.bfloat16)
+                    lo = (r1 - mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    return hi, mid, lo
+
+                def dot_d(a, b):
+                    return jax.lax.dot_general(
+                        a, b, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT,
                     )
-                    parts.append(r if off is None else r + off)
-                    if k < 2:
-                        s = jnp.sum(seg, axis=1, keepdims=True)
-                        off = s if off is None else off + s
-                return jnp.concatenate(parts, axis=1)
 
-            def split3(wv):
-                # EXACT 3-term bf16 split: each term is EXACTLY a bf16
-                # value (successive 8-bit significand slices of the
-                # 24-bit f32 significand), so returning them AS bf16 is
-                # lossless; (hi + mid) + lo reconstructs the f32 value
-                # bitwise when each output sums one selected column.
-                hi = wv.astype(jnp.bfloat16)
-                r1 = wv - hi.astype(jnp.float32)
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                return hi, mid, lo
-
-            def dot_d(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
+                w_all = jnp.concatenate(
+                    [sg[0] for sg in segs], axis=1
+                )                                        # [NUM_CAND, nseg*C]
+                # NOTE: the transposed orientation (p_t @ w_all.T ->
+                # [C, NUM_F], full MXU M-utilization, then .T back)
+                # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
+                # transpose outweighs the M-util gain; don't retry.
+                #
+                # ONE M=24 matmul instead of three M=8 passes: an M=8
+                # matmul pays the full MXU pipeline fill for 8 rows of
+                # work (1/16 utilization); stacking hi/mid/lo along the
+                # M (feature) axis amortizes the fill 3x (measured −1.4
+                # ms/step at 1M, perf/mxfuse_ab.py).  Row slices are
+                # 8-aligned (NUM_CAND == 8) and the final sum keeps the
+                # exact (hi + mid) + lo order — bitwise-identical.
+                w3 = jnp.concatenate(split3(w_all), axis=0)  # [24, nseg*C]
+                ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_CAND, 1), 0)
+                sent = jnp.where(
+                    (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
+                    jnp.where(ri == ROW_ID, -1.0, 0.0),
                 )
+                r_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (C, 1), 0
+                ).astype(jnp.float32)
 
-            w_all = jnp.concatenate(
-                [rolled[k][:, :C] for k in range(3)], axis=1
-            )                                            # [NUM_CAND, 3C]
-            # NOTE: the transposed orientation (p_t @ w_all.T ->
-            # [C, NUM_F], full MXU M-utilization, then .T back)
-            # measured SLOWER (80.5 vs 73.6 ms at 1M) — the [C, 16]
-            # transpose outweighs the M-util gain; don't retry.
-            #
-            # ONE M=24 matmul instead of three M=8 passes: an M=8
-            # matmul pays the full MXU pipeline fill for 8 rows of
-            # work (1/16 utilization); stacking hi/mid/lo along the
-            # M (feature) axis amortizes the fill 3x (measured −1.4
-            # ms/step at 1M, perf/mxfuse_ab.py).  Row slices are
-            # 8-aligned (NUM_CAND == 8) and the final sum keeps the
-            # exact (hi + mid) + lo order — bitwise-identical.
-            w3 = jnp.concatenate(split3(w_all), axis=0)  # [24, 3C]
-            ri = jax.lax.broadcasted_iota(jnp.int32, (NUM_CAND, 1), 0)
-            sent = jnp.where(
-                (ri == ROW_PX) | (ri == ROW_PY), _POS_SENTINEL,
-                jnp.where(ri == ROW_ID, -1.0, 0.0),
-            )
-            r_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (C, 1), 0
-            ).astype(jnp.float32)
+                def compact_force(p_t, unfilled):
+                    """Compact via the one-hot ``p_t`` [C, nseg*C] (bf16
+                    0/1 — a direct bf16 where() hits an unsupported i1
+                    relayout in Mosaic, so callers build f32 and astype
+                    once), blend the sentinel into ``unfilled`` [1, C]
+                    lanes, and return the compacted candidate plane
+                    [NUM_CAND, C]."""
+                    comp3 = dot_d(w3, p_t)                   # [24, C]
+                    comp = (comp3[:NUM_CAND]
+                            + comp3[NUM_CAND:2 * NUM_CAND]) \
+                        + comp3[2 * NUM_CAND:]           # [NUM_CAND, C]
+                    # Unfilled lanes summed nothing (all-zero feature
+                    # rows, position (0,0) — a real place): blend in the
+                    # sentinel row so the pair mask kills them.
+                    return comp + unfilled * sent
 
-            def compact_force(p_t, unfilled):
-                """Compact via the one-hot ``p_t`` [C, 3C] (bf16 0/1 —
-                a direct bf16 where() hits an unsupported i1 relayout in
-                Mosaic, so callers build f32 and astype once), blend the
-                sentinel into ``unfilled`` [1, C] lanes, and return the
-                compacted candidate plane [NUM_CAND, C]."""
-                comp3 = dot_d(w3, p_t)                       # [24, C]
-                comp = (comp3[:NUM_CAND] + comp3[NUM_CAND:2 * NUM_CAND]) \
-                    + comp3[2 * NUM_CAND:]               # [NUM_CAND, C]
-                # Unfilled lanes summed nothing (all-zero feature rows,
-                # position (0,0) — a real place): blend in the sentinel
-                # row so the pair mask kills them.
-                return comp + unfilled * sent
+                def shared_tier():
+                    # Compacted ranks are DENSE (0..count-1), so "filled" is
+                    # simply lane < count.
+                    rank = tri_rank(u)                       # [1, 3C]
+                    # Prefold the union test into the rank row ([1, 3C]):
+                    # non-union lanes get rank -1, which no output lane's
+                    # r_iota (>= 0) matches — one [C, 3C] compare instead of
+                    # compare + compare + AND.
+                    rank_m = jnp.where(u > 0, rank, -1.0)    # [1, 3C]
+                    p_t = jnp.where(
+                        rank_m == r_iota, 1.0, 0.0
+                    ).astype(jnp.bfloat16)                   # [C, 3C] bf16
+                    unfilled = jnp.where(
+                        lane_iota < count.astype(jnp.int32), 0.0, 1.0
+                    )                                        # [1, C]
+                    comp = compact_force(p_t, unfilled)
 
-            def shared_tier():
-                # Compacted ranks are DENSE (0..count-1), so "filled" is
-                # simply lane < count.
-                rank = tri_rank(u)                       # [1, 3C]
-                # Prefold the union test into the rank row ([1, 3C]):
-                # non-union lanes get rank -1, which no output lane's
-                # r_iota (>= 0) matches — one [C, 3C] compare instead of
-                # compare + compare + AND.
-                rank_m = jnp.where(u > 0, rank, -1.0)    # [1, 3C]
-                p_t = jnp.where(
-                    rank_m == r_iota, 1.0, 0.0
-                ).astype(jnp.bfloat16)                   # [C, 3C] bf16
-                unfilled = jnp.where(
-                    lane_iota < count.astype(jnp.int32), 0.0, 1.0
-                )                                        # [1, C]
-                comp = compact_force(p_t, unfilled)
+                    def ccrow(r):
+                        return comp[r:r + 1, :]
 
-                def ccrow(r):
-                    return comp[r:r + 1, :]
+                    cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
+                    cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
+                    cid_ = ccrow(ROW_ID)
+                    d2 = (cpx_ - qpx_) ** 2 + (cpy_ - qpy_) ** 2
+                    mask2 = (
+                        (d2 < qeye_ * qeye_) & (cid_ != qid_) & (cid_ >= 0)
+                    )
+                    ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
+                                       cvx_, cvy_, cpx_, cpy_, radius)
+                    ttc = jnp.where(mask2, ttc, inf)
+                    t_i = jnp.min(ttc, axis=1, keepdims=True)
+                    pfx, pfy = _pair_force(
+                        zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
+                        cpx_, cpy_, cvx_, cvy_,
+                        ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
+                        int_prio=int_prio,
+                    )
+                    write_out(
+                        t_i,
+                        jnp.sum(pfx, axis=1, keepdims=True),
+                        jnp.sum(pfy, axis=1, keepdims=True),
+                    )
 
-                cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
-                cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
-                cid_ = ccrow(ROW_ID)
-                d2 = (cpx_ - qpx_) ** 2 + (cpy_ - qpy_) ** 2
-                mask2 = (
-                    (d2 < qeye_ * qeye_) & (cid_ != qid_) & (cid_ >= 0)
-                )
-                ttc, _ = _pair_ttc(qvx_, qvy_, qpx_, qpy_,
-                                   cvx_, cvy_, cpx_, cpy_, radius)
-                ttc = jnp.where(mask2, ttc, inf)
-                t_i = jnp.min(ttc, axis=1, keepdims=True)
-                pfx, pfy = _pair_force(
-                    zp, t_i, qpx_, qpy_, qvx_, qvy_, qspx_, qspy_, qprio_,
-                    cpx_, cpy_, cvx_, cvy_,
-                    ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
-                    int_prio=int_prio,
-                )
-                write_out(
-                    t_i,
-                    jnp.sum(pfx, axis=1, keepdims=True),
-                    jnp.sum(pfy, axis=1, keepdims=True),
-                )
+                if not dual_row:
+                    @pl.when(count <= jnp.float32(C))
+                    def _():
+                        shared_tier()
 
-            if not dual_row:
-                @pl.when(count <= jnp.float32(C))
+                    @pl.when(count > jnp.float32(C))
+                    def _():
+                        full_passes(segs)
+                    return
+
+                # ---- dual-row tier (see the block comment above) ----------
+                # DYNAMIC segment boundary: half A's union compacts into
+                # lanes [0, c0), half B's into [c0, c0 + c1) — the tier
+                # applies whenever the halves fit the plane TOGETHER
+                # (c0 + c1 <= C), not per-half (c0, c1 <= C/2): boundary-
+                # band candidates live in both unions (duplicated into both
+                # segments, so each output lane still selects exactly one
+                # window lane — a valid gather matrix), and the fixed-half
+                # split wasted the slack one roomy half could lend a tight
+                # one.
+                H = sub_q // 2
+                dual_ok = (c0 + c1) <= jnp.float32(C)
+
+                @pl.when(dual_ok)
+                def _():
+                    u2 = jnp.concatenate([u0, u1], axis=0)   # [2, 3C]
+                    rank2 = tri_rank(u2)                     # [2, 3C], M=2
+                    rank0 = rank2[0:1]
+                    rank1 = rank2[1:2]
+                    # Prefolded rank rows ([1, 3C]): non-union lanes -> -1
+                    # (matches no r_iota >= 0); rank0 < c0 <= the rank1 + c0
+                    # offsets whenever this tier is TAKEN, so the two
+                    # compares select disjoint output-lane ranges — two
+                    # [C, 3C] compares + OR replace the five-op guard chain.
+                    rk0 = jnp.where(u0 > 0, rank0, -1.0)     # [1, 3C]
+                    rk1 = jnp.where(u1 > 0, rank1 + c0, -1.0)
+                    p_t = jnp.where(
+                        (rk0 == r_iota) | (rk1 == r_iota), 1.0, 0.0,
+                    ).astype(jnp.bfloat16)                   # [C, 3C] bf16
+                    li = lane_iota                           # [1, C] i32
+                    filled = li < (c0 + c1).astype(jnp.int32)
+                    comp = compact_force(
+                        p_t, jnp.where(filled, 0.0, 1.0)
+                    )
+
+                    def ccrow(r):
+                        return comp[r:r + 1, :]
+
+                    lane_lo = li < c0.astype(jnp.int32)      # [1, C]
+
+                    def qseg(r):
+                        # Row r serves query G0_r on lanes [0, c0) and
+                        # G1_r on [c0, C): select its features per half.
+                        return jnp.where(
+                            lane_lo, qblk[:H, r:r + 1], qblk[H:, r:r + 1]
+                        )                                    # [H, C]
+
+                    qpx2, qpy2 = qseg(ROW_PX), qseg(ROW_PY)
+                    qvx2, qvy2 = qseg(ROW_VX), qseg(ROW_VY)
+                    qprio2, qeye2 = qseg(ROW_PRIO), qseg(ROW_EYE)
+                    qid2 = qseg(ROW_ID)
+                    if int_prio:
+                        qspx2, qspy2 = qvx2, qvy2  # unused on this path
+                    else:
+                        qspx2, qspy2 = qseg(ROW_SPX), qseg(ROW_SPY)
+
+                    cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
+                    cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
+                    cid_ = ccrow(ROW_ID)
+                    d2 = (cpx_ - qpx2) ** 2 + (cpy_ - qpy2) ** 2
+                    mask2 = (
+                        (d2 < qeye2 * qeye2) & (cid_ != qid2) & (cid_ >= 0)
+                    )
+                    ttc, _ = _pair_ttc(qvx2, qvy2, qpx2, qpy2,
+                                       cvx_, cvy_, cpx_, cpy_, radius)
+                    ttc = jnp.where(mask2, ttc, inf)
+                    t_a = jnp.min(jnp.where(lane_lo, ttc, inf), axis=1,
+                                  keepdims=True)             # [H, 1]
+                    t_b = jnp.min(jnp.where(lane_lo, inf, ttc), axis=1,
+                                  keepdims=True)
+                    t_seg = jnp.where(lane_lo, t_a, t_b)     # [H, C]
+                    inv_a = 1.0 / jnp.where(t_a > 0, t_a, 1.0)
+                    inv_b = 1.0 / jnp.where(t_b > 0, t_b, 1.0)
+                    pfx, pfy = _pair_force(
+                        zp, t_seg, qpx2, qpy2, qvx2, qvy2, qspx2, qspy2,
+                        qprio2, cpx_, cpy_, cvx_, cvy_,
+                        ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
+                        int_prio=int_prio,
+                        inv_t=jnp.where(lane_lo, inv_a, inv_b),
+                    )
+                    zf = jnp.float32(0.0)
+                    write_out(
+                        jnp.concatenate([t_a, t_b], axis=0),
+                        jnp.concatenate(
+                            [jnp.sum(jnp.where(lane_lo, pfx, zf), axis=1,
+                                     keepdims=True),
+                             jnp.sum(jnp.where(lane_lo, zf, pfx), axis=1,
+                                     keepdims=True)], axis=0),
+                        jnp.concatenate(
+                            [jnp.sum(jnp.where(lane_lo, pfy, zf), axis=1,
+                                     keepdims=True),
+                             jnp.sum(jnp.where(lane_lo, zf, pfy), axis=1,
+                                     keepdims=True)], axis=0),
+                    )
+
+                not_dual = jnp.logical_not(dual_ok)
+
+                @pl.when(not_dual & (count <= jnp.float32(C)))
                 def _():
                     shared_tier()
 
-                @pl.when(count > jnp.float32(C))
+                @pl.when(not_dual & (count > jnp.float32(C)))
                 def _():
-                    full_passes()
-                return
+                    full_passes(segs)
 
-            # ---- dual-row tier (see the block comment above) ----------
-            # DYNAMIC segment boundary: half A's union compacts into
-            # lanes [0, c0), half B's into [c0, c0 + c1) — the tier
-            # applies whenever the halves fit the plane TOGETHER
-            # (c0 + c1 <= C), not per-half (c0, c1 <= C/2): boundary-
-            # band candidates live in both unions (duplicated into both
-            # segments, so each output lane still selects exactly one
-            # window lane — a valid gather matrix), and the fixed-half
-            # split wasted the slack one roomy half could lend a tight
-            # one.
-            H = sub_q // 2
-            dual_ok = (c0 + c1) <= jnp.float32(C)
+            # ---- tier dispatch: flagged sub-blocks absorb the fused
+            # spill plane as a fourth candidate segment; everyone else
+            # runs the exact three-window shape (the two bodies share
+            # all code above — only the static segment count differs).
+            if spill_lanes:
+                ns = sflag_ref[cnt_base + s]
 
-            @pl.when(dual_ok)
-            def _():
-                u2 = jnp.concatenate([u0, u1], axis=0)   # [2, 3C]
-                rank2 = tri_rank(u2)                     # [2, 3C], M=2
-                rank0 = rank2[0:1]
-                rank1 = rank2[1:2]
-                # Prefolded rank rows ([1, 3C]): non-union lanes -> -1
-                # (matches no r_iota >= 0); rank0 < c0 <= the rank1 + c0
-                # offsets whenever this tier is TAKEN, so the two
-                # compares select disjoint output-lane ranges — two
-                # [C, 3C] compares + OR replace the five-op guard chain.
-                rk0 = jnp.where(u0 > 0, rank0, -1.0)     # [1, 3C]
-                rk1 = jnp.where(u1 > 0, rank1 + c0, -1.0)
-                p_t = jnp.where(
-                    (rk0 == r_iota) | (rk1 == r_iota), 1.0, 0.0,
-                ).astype(jnp.bfloat16)                   # [C, 3C] bf16
-                li = lane_iota                           # [1, C] i32
-                filled = li < (c0 + c1).astype(jnp.int32)
-                comp = compact_force(
-                    p_t, jnp.where(filled, 0.0, 1.0)
-                )
+                @pl.when(ns == 0)
+                def _():
+                    tier_section(segs3)
 
-                def ccrow(r):
-                    return comp[r:r + 1, :]
-
-                lane_lo = li < c0.astype(jnp.int32)      # [1, C]
-
-                def qseg(r):
-                    # Row r serves query G0_r on lanes [0, c0) and
-                    # G1_r on [c0, C): select its features per half.
-                    return jnp.where(
-                        lane_lo, qblk[:H, r:r + 1], qblk[H:, r:r + 1]
-                    )                                    # [H, C]
-
-                qpx2, qpy2 = qseg(ROW_PX), qseg(ROW_PY)
-                qvx2, qvy2 = qseg(ROW_VX), qseg(ROW_VY)
-                qprio2, qeye2 = qseg(ROW_PRIO), qseg(ROW_EYE)
-                qid2 = qseg(ROW_ID)
-                if int_prio:
-                    qspx2, qspy2 = qvx2, qvy2  # unused on this path
-                else:
-                    qspx2, qspy2 = qseg(ROW_SPX), qseg(ROW_SPY)
-
-                cpx_, cpy_ = ccrow(ROW_PX), ccrow(ROW_PY)
-                cvx_, cvy_ = ccrow(ROW_VX), ccrow(ROW_VY)
-                cid_ = ccrow(ROW_ID)
-                d2 = (cpx_ - qpx2) ** 2 + (cpy_ - qpy2) ** 2
-                mask2 = (
-                    (d2 < qeye2 * qeye2) & (cid_ != qid2) & (cid_ >= 0)
-                )
-                ttc, _ = _pair_ttc(qvx2, qvy2, qpx2, qpy2,
-                                   cvx_, cvy_, cpx_, cpy_, radius)
-                ttc = jnp.where(mask2, ttc, inf)
-                t_a = jnp.min(jnp.where(lane_lo, ttc, inf), axis=1,
-                              keepdims=True)             # [H, 1]
-                t_b = jnp.min(jnp.where(lane_lo, inf, ttc), axis=1,
-                              keepdims=True)
-                t_seg = jnp.where(lane_lo, t_a, t_b)     # [H, C]
-                inv_a = 1.0 / jnp.where(t_a > 0, t_a, 1.0)
-                inv_b = 1.0 / jnp.where(t_b > 0, t_b, 1.0)
-                pfx, pfy = _pair_force(
-                    zp, t_seg, qpx2, qpy2, qvx2, qvy2, qspx2, qspy2,
-                    qprio2, cpx_, cpy_, cvx_, cvy_,
-                    ccrow(ROW_FX), ccrow(ROW_FY), ccrow(ROW_PRIO), mask2,
-                    int_prio=int_prio,
-                    inv_t=jnp.where(lane_lo, inv_a, inv_b),
-                )
-                zf = jnp.float32(0.0)
-                write_out(
-                    jnp.concatenate([t_a, t_b], axis=0),
-                    jnp.concatenate(
-                        [jnp.sum(jnp.where(lane_lo, pfx, zf), axis=1,
-                                 keepdims=True),
-                         jnp.sum(jnp.where(lane_lo, zf, pfx), axis=1,
-                                 keepdims=True)], axis=0),
-                    jnp.concatenate(
-                        [jnp.sum(jnp.where(lane_lo, pfy, zf), axis=1,
-                                 keepdims=True),
-                         jnp.sum(jnp.where(lane_lo, zf, pfy), axis=1,
-                                 keepdims=True)], axis=0),
-                )
-
-            not_dual = jnp.logical_not(dual_ok)
-
-            @pl.when(not_dual & (count <= jnp.float32(C)))
-            def _():
-                shared_tier()
-
-            @pl.when(not_dual & (count > jnp.float32(C)))
-            def _():
-                full_passes()
+                @pl.when(ns > 0)
+                def _():
+                    tier_section(segs3 + [(sp_feat, sp_ok)])
+            else:
+                tier_section(segs3)
 
         jax.lax.fori_loop(0, nsub, sub_block, 0)
+
+    if spill_lanes:
+        def kernel(zp_ref, cnt_ref, sflag_ref, packed_any, qt_ref,
+                   sp_ref, out_ref, strips_r, sem):
+            _body(zp_ref, cnt_ref, sflag_ref, packed_any, qt_ref,
+                  sp_ref, out_ref, strips_r, sem)
+    else:
+        def kernel(zp_ref, cnt_ref, packed_any, qt_ref, out_ref,
+                   strips_r, sem):
+            _body(zp_ref, cnt_ref, None, packed_any, qt_ref, None,
+                  out_ref, strips_r, sem)
 
     return kernel, q_len, W_EXT, N_COPIES
 
@@ -1271,7 +1335,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              compact_pass2: bool = True,
                              int_prio: bool = False,
                              packed_T=None,
-                             dual_row: bool = False):
+                             dual_row: bool = False,
+                             spill_ext=None):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
@@ -1280,12 +1345,21 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     second return) — pass it to skip the in-graph transpose fallback,
     which costs ~9 ms at 1M.  Returns [slots, 2] f32 velocities
     (rec + force/mass) per bucket slot.
+
+    spill_ext: optional (sflag [n_blocks] i32, sp_T [NUM_CAND, 128]
+    f32) — the fused-spill extension (see :func:`zanlungo_fused`):
+    flagged sub-blocks absorb sp_T's live lanes as a fourth candidate
+    segment, so bucket-overflow agents act as force candidates without
+    the separate per-spill window recompute.  Callers must flag every
+    sub-block with a query tile within Chebyshev distance 1 of a live
+    spill's (carried) tile.
     """
     if packed_T is None:
         packed_T = packed_t[:, :NUM_CAND].T
     kernel, q_len, w_ext, n_copies = _make_kernel(
         cfg, compact_pass2=compact_pass2, int_prio=int_prio,
         dual_row=dual_row,
+        spill_lanes=0 if spill_ext is None else spill_ext[1].shape[1],
     )
     n_strips = cfg.ty // cfg.strip_tiles
 
@@ -1299,19 +1373,27 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
         axis=-1, dtype=jnp.int32,
     )
 
+    in_specs = [
+        # Lane-major packed array pinned to HBM, manually DMA'd in
+        # 128-aligned windows.
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(                          # query strip (transposed)
+            (q_len, NUM_F),
+            lambda i, j, *_: (i * n_strips + j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if spill_ext is not None:
+        sflag, sp_T = spill_ext
+        in_specs.append(pl.BlockSpec(          # fused spill plane
+            (NUM_CAND, sp_T.shape[1]),
+            lambda i, j, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 if spill_ext is None else 3,
         grid=(cfg.tx, n_strips),
-        in_specs=[
-            # Lane-major packed array pinned to HBM, manually DMA'd in
-            # 128-aligned windows.
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(                          # query strip (transposed)
-                (q_len, NUM_F),
-                lambda i, j, *_: (i * n_strips + j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (q_len, 2),
             lambda i, j, *_: (i * n_strips + j, 0),
@@ -1324,12 +1406,18 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
     )
     # Candidate strips carry only the 8 candidate feature rows — half
     # the DMA traffic and compaction-matmul M-dim of the full layout.
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cfg.slots, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(zparams4.astype(jnp.float32), counts, packed_T, packed_t)
+    )
+    if spill_ext is None:
+        return call(zparams4.astype(jnp.float32), counts, packed_T,
+                    packed_t)
+    return call(zparams4.astype(jnp.float32), counts,
+                sflag.astype(jnp.int32), packed_T, packed_t,
+                sp_T.astype(jnp.float32))
 
 
 def spill_patch(cfg: BucketConfig, zp, position, velocity, self_pref,
@@ -1828,6 +1916,89 @@ def _spill_groups_window_pallas(cfg: BucketConfig, zp5, packed_t, sp_t,
     return out.reshape(cap, q_len, 2)
 
 
+def _spill_own_rows(cfg: BucketConfig, zp, packed_t, sp: dict,
+                    sp_tcx, sp_tcy, spill_valid):
+    """Velocities for the spill agents' OWN rows: [S] queries against
+    their 3x3 packed window + the whole spill list, via the exact
+    models/local math (zanlungo_from_rows) — the reference semantics for
+    an agent the bucket layout could not hold (zanlungo.rs:93-218 over
+    the full neighbor set, location_hash_2d.rs:251 masking).  Returns
+    [S, 1, 2]; rows for invalid slots hold rec_vel."""
+    from ..models.local import zanlungo_from_rows
+
+    s_cap = sp_tcx.shape[0]
+    b, ty, tx = cfg.bucket, cfg.ty, cfg.tx
+    q_len = 9 * b
+    bx3 = jnp.clip(sp_tcx - 1, 0, tx - 3)
+    by3 = jnp.clip(sp_tcy - 1, 0, ty - 3)
+    cols3 = bx3[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+    base3 = (cols3 * ty + by3[:, None]) * b                  # [S, 3]
+
+    def col3(b0):
+        return jax.lax.dynamic_slice(
+            packed_t, (b0, jnp.zeros((), b0.dtype)), (3 * b, NUM_F)
+        )
+
+    w3 = jax.vmap(jax.vmap(col3))(base3).reshape(s_cap, q_len, NUM_F)
+    w3_ok = w3[..., ROW_ID] >= 0
+    c_pos = jnp.concatenate(
+        [w3[..., ROW_PX:ROW_PX + 2],
+         jnp.broadcast_to(sp["pos"][None], (s_cap, s_cap, 2))], axis=1)
+    c_vel = jnp.concatenate(
+        [w3[..., ROW_VX:ROW_VX + 2],
+         jnp.broadcast_to(sp["vel"][None], (s_cap, s_cap, 2))], axis=1)
+    c_prefc = jnp.concatenate(
+        [w3[..., ROW_FX:ROW_FX + 2],
+         jnp.broadcast_to(sp["prefc"][None], (s_cap, s_cap, 2))], axis=1)
+    c_prio = jnp.concatenate(
+        [w3[..., ROW_PRIO],
+         jnp.broadcast_to(sp["prio"][None], (s_cap, s_cap))], axis=1)
+    c_id = jnp.concatenate(
+        [jnp.where(w3_ok, w3[..., ROW_ID], -1.0),
+         jnp.broadcast_to(sp["id"][None], (s_cap, s_cap))], axis=1)
+    d2 = jnp.sum(
+        (c_pos - sp["pos"][:, None, :]) ** 2, axis=-1
+    )                                                        # [S, nc]
+    valid = (
+        (c_id >= 0)
+        & spill_valid[:, None]
+        & (d2 < (sp["eye"] ** 2)[:, None])
+        & (c_id != sp["id"][:, None])
+    )
+    return zanlungo_from_rows(
+        zp, sp["pos"][:, None], sp["vel"][:, None],
+        sp["spref"][:, None], sp["prio"][:, None],
+        c_pos[:, None], c_vel[:, None], c_prefc[:, None],
+        c_prio[:, None], valid[:, None], sp["rec"][:, None],
+    )                                                        # [S, 1, 2]
+
+
+def _spill_flags(cfg: BucketConfig, sp_tcx, sp_tcy, spill_valid):
+    """Per-sub-block fused-spill flags: count of live spills whose
+    (carried) tile is within Chebyshev distance 1 of one of the
+    sub-block's query tiles.  Because ``tile_size >= max_eyesight``
+    (BucketConfig.create), every query within eyesight of a spill lives
+    in an adjacent tile, so flagged sub-blocks are a superset of the
+    affected ones; on the carried-binning path the same skin bound that
+    keeps kernel windows exact keeps this adjacency exact (core/step.py
+    skin_mode).  [n_blocks] i32, indexed like the kernel's cnt_ref:
+    block = (cx * n_strips + cy // strip) * nsub + (cy % strip) // qb."""
+    n_strips = cfg.ty // cfg.strip_tiles
+    nsub = cfg.strip_tiles // cfg.sub_tiles
+    n_blocks = cfg.tx * n_strips * nsub
+    d = jnp.arange(-1, 2, dtype=jnp.int32)
+    cx = jnp.clip(sp_tcx[:, None, None] + d[None, :, None], 0, cfg.tx - 1)
+    cy = jnp.clip(sp_tcy[:, None, None] + d[None, None, :], 0, cfg.ty - 1)
+    blk = (
+        (cx * n_strips + cy // cfg.strip_tiles) * nsub
+        + (cy % cfg.strip_tiles) // cfg.sub_tiles
+    )
+    tgt = jnp.where(spill_valid[:, None, None], blk, n_blocks)
+    return jnp.zeros((n_blocks,), jnp.int32).at[tgt.reshape(-1)].add(
+        1, mode="drop"
+    )
+
+
 def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
                   sp_tcx, sp_tcy, spill_valid, chunk: int,
                   interpret: bool = False, int_prio: bool = False,
@@ -1907,49 +2078,8 @@ def _spill_groups(cfg: BucketConfig, zp, packed_t, sp: dict,
 
     # Spills' OWN rows: [S] queries vs their 3x3 packed window + the
     # whole spill list (exactly the XLA version's last column).
-    bx3 = jnp.clip(sp_tcx - 1, 0, tx - 3)
-    by3 = jnp.clip(sp_tcy - 1, 0, ty - 3)
-    cols3 = bx3[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
-    base3 = (cols3 * ty + by3[:, None]) * b                  # [S, 3]
-
-    def col3(b0):
-        return jax.lax.dynamic_slice(
-            packed_t, (b0, jnp.zeros((), b0.dtype)), (3 * b, NUM_F)
-        )
-
-    w3 = jax.vmap(jax.vmap(col3))(base3).reshape(s_cap, q_len, NUM_F)
-    w3_ok = w3[..., ROW_ID] >= 0
-    nc = q_len + s_cap
-    c_pos = jnp.concatenate(
-        [w3[..., ROW_PX:ROW_PX + 2],
-         jnp.broadcast_to(sp["pos"][None], (s_cap, s_cap, 2))], axis=1)
-    c_vel = jnp.concatenate(
-        [w3[..., ROW_VX:ROW_VX + 2],
-         jnp.broadcast_to(sp["vel"][None], (s_cap, s_cap, 2))], axis=1)
-    c_prefc = jnp.concatenate(
-        [w3[..., ROW_FX:ROW_FX + 2],
-         jnp.broadcast_to(sp["prefc"][None], (s_cap, s_cap, 2))], axis=1)
-    c_prio = jnp.concatenate(
-        [w3[..., ROW_PRIO],
-         jnp.broadcast_to(sp["prio"][None], (s_cap, s_cap))], axis=1)
-    c_id = jnp.concatenate(
-        [jnp.where(w3_ok, w3[..., ROW_ID], -1.0),
-         jnp.broadcast_to(sp["id"][None], (s_cap, s_cap))], axis=1)
-    d2 = jnp.sum(
-        (c_pos - sp["pos"][:, None, :]) ** 2, axis=-1
-    )                                                        # [S, nc]
-    valid = (
-        (c_id >= 0)
-        & spill_valid[:, None]
-        & (d2 < (sp["eye"] ** 2)[:, None])
-        & (c_id != sp["id"][:, None])
-    )
-    own = zanlungo_from_rows(
-        zp, sp["pos"][:, None], sp["vel"][:, None],
-        sp["spref"][:, None], sp["prio"][:, None],
-        c_pos[:, None], c_vel[:, None], c_prefc[:, None],
-        c_prio[:, None], valid[:, None], sp["rec"][:, None],
-    )                                                        # [S, 1, 2]
+    own = _spill_own_rows(cfg, zp, packed_t, sp, sp_tcx, sp_tcy,
+                          spill_valid)                       # [S, 1, 2]
 
     out = jnp.concatenate([out_win, own], axis=1)            # [S, 9b+1, 2]
     q_id_full = jnp.concatenate([q_id, sp["id"][:, None]], axis=1)
@@ -1961,18 +2091,31 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    interpret: bool = False, use_pack_kernel: bool = False,
                    spill_capacity: int = 0, presorted: bool = False,
                    int_prio: bool = False, binning=None,
-                   dual_row: bool = False):
+                   dual_row: bool = False, fused_spills: bool = True):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
     candidate table).  Returns (vel [N, 2], max_tile_occupancy, dropped).
 
     With ``spill_capacity`` > 0, bucket overflow (tile occupancy >
-    ``cfg.bucket``) is repaired EXACTLY by :func:`spill_patch` and
-    ``dropped`` counts only what the static caps could not cover (plus
-    pack-kernel window overflow).  With 0 (off), overflow agents keep
-    ``rec_vel`` and vanish as candidates — silent truncation, surfaced
-    through ``dropped``.
+    ``cfg.bucket``) is repaired EXACTLY and ``dropped`` counts only what
+    the static caps could not cover (plus pack-kernel window overflow).
+    With 0 (off), overflow agents keep ``rec_vel`` and vanish as
+    candidates — silent truncation, surfaced through ``dropped``.
+
+    ``fused_spills`` (the default): spills ride the MAIN kernel as a
+    fourth candidate segment on flagged sub-blocks, so affected packed
+    queries get their exact forces in one pass and only the spills' own
+    rows run the small oracle-math pass (_spill_own_rows) — replacing
+    the per-spill window-recompute kernel + affected-row scatter of
+    :func:`spill_patch` (measured +6.1 ms at the 1M bench's ~60-spill
+    steps, perf/step_parts.py).  Affected queries' force sums append
+    spill addends after the window lanes instead of the patch's
+    window-order recompute — the same tolerance class the patch already
+    had ("f32 summation order differs ... on overwritten rows").  Spill
+    storms past min(128, spill_capacity) fall back to the full
+    :func:`spill_patch` (whose recompute overwrites any partial fused
+    contribution — idempotent, exact either way).
     """
     dtype = position.dtype
     tile_xy = None
@@ -1994,9 +2137,60 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         interpret=interpret, presorted=presorted, binning=bin3,
     )
     zparams4 = zparams5(zp)
+
+    # ---- fused-spill discovery (before the kernel): the first
+    # min(128, spill_capacity) bucket-overflow agents become the
+    # kernel's fourth candidate segment.  128 == the kernel's C so every
+    # compaction segment shares the [C, C] tri geometry.
+    S_K = 128
+    use_fsp = bool(
+        spill_capacity > 0 and fused_spills
+        and cfg.tx >= 5 and cfg.ty >= 5
+    )
+    spill_ext = None
+    if use_fsp:
+        n = position.shape[0]
+        f32 = jnp.float32
+        fused_cap = min(S_K, int(spill_capacity))
+        c_sp = compact_indices(alive & (bucket_pos >= cfg.slots), S_K)
+        n_spill, spill_idx = c_sp.count, c_sp.idx
+        lane_i = jnp.arange(S_K, dtype=jnp.int32)
+        live = c_sp.valid & (lane_i < fused_cap)
+        fits = n_spill <= jnp.int32(fused_cap)
+        sc = jnp.clip(spill_idx, 0, n - 1)
+        if tile_xy is not None:
+            sp_tcx = jnp.where(live, tile_xy[0][sc], 1)
+            sp_tcy = jnp.where(live, tile_xy[1][sc], 1)
+        else:
+            inv_tile = 1.0 / cfg.tile_size
+            sp_tcx = jnp.where(live, jnp.clip(jnp.floor(
+                (position[sc, 0] - cfg.offset[0]) * inv_tile
+            ).astype(jnp.int32), 0, cfg.tx - 1), 1)
+            sp_tcy = jnp.where(live, jnp.clip(jnp.floor(
+                (position[sc, 1] - cfg.offset[1]) * inv_tile
+            ).astype(jnp.int32), 0, cfg.ty - 1), 1)
+        sp = dict(
+            pos=position[sc].astype(f32),
+            vel=velocity[sc].astype(f32),
+            prefc=pref_committed[sc].astype(f32),
+            spref=self_pref[sc].astype(f32),
+            prio=priority[sc].astype(f32),
+            eye=eyesight[sc].astype(f32),
+            rec=rec_vel[sc].astype(f32),
+            id=jnp.where(live, spill_idx, -1).astype(f32),
+        )
+        sp_T = jnp.stack([
+            sp["pos"][:, 0], sp["pos"][:, 1],
+            sp["vel"][:, 0], sp["vel"][:, 1],
+            sp["prefc"][:, 0], sp["prefc"][:, 1],
+            sp["prio"], sp["id"],
+        ], axis=0)                              # [NUM_CAND, S_K]
+        spill_ext = (_spill_flags(cfg, sp_tcx, sp_tcy, live), sp_T)
+
     out = zanlungo_forces_bucketed(cfg, zparams4, packed_t,
                                    interpret=interpret, int_prio=int_prio,
-                                   packed_T=packed_T, dual_row=dual_row)
+                                   packed_T=packed_T, dual_row=dual_row,
+                                   spill_ext=spill_ext)
     ok = (bucket_pos < cfg.slots) & alive
     # Plain row gather: with presort the indices are MONOTONE, which the
     # hardware rewards (~5.4 ms at 1M vs ~10 for random order); a Pallas
@@ -2029,14 +2223,47 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
         _fix_pack_dropped, lambda v: v, vel,
     )
     if spill_capacity > 0:
-        # `dropped` from bucketize = bucket overflow + pack overflow; the
-        # patch resolves the bucket-overflow part exactly.
-        vel, unresolved = spill_patch(
-            cfg, zp, position, velocity, self_pref, pref_committed,
-            priority, eyesight, alive, rec_vel, packed_t, bucket_pos, vel,
-            spill_capacity, interpret=interpret, int_prio=int_prio,
-            packed_T=packed_T, tile_xy=tile_xy,
-        )
+        # `dropped` from bucketize = bucket overflow + pack overflow;
+        # the spill machinery resolves the bucket-overflow part exactly.
+        if use_fsp:
+            # Affected packed queries were already fixed IN the kernel
+            # (fourth segment); only the spills' own velocities remain.
+            def _fused(v):
+                own = _spill_own_rows(
+                    cfg, zp, packed_t, sp, sp_tcx, sp_tcy, live
+                )[:, 0, :]
+                tgt = jnp.where(live, spill_idx, n)
+                return (
+                    v.at[tgt].set(own.astype(v.dtype), mode="drop"),
+                    jnp.zeros((), jnp.int32),
+                )
+
+            def _storm(v):
+                # More spills than the fused segment holds: the full
+                # patch recomputes every affected query from scratch
+                # (idempotent overwrite — any partial fused contribution
+                # is replaced, not doubled).
+                return spill_patch(
+                    cfg, zp, position, velocity, self_pref,
+                    pref_committed, priority, eyesight, alive, rec_vel,
+                    packed_t, bucket_pos, v, spill_capacity,
+                    interpret=interpret, int_prio=int_prio,
+                    packed_T=packed_T, tile_xy=tile_xy,
+                )
+
+            vel, unresolved = jax.lax.cond(
+                n_spill > 0,
+                lambda v: jax.lax.cond(fits, _fused, _storm, v),
+                lambda v: (v, jnp.zeros((), jnp.int32)),
+                vel,
+            )
+        else:
+            vel, unresolved = spill_patch(
+                cfg, zp, position, velocity, self_pref, pref_committed,
+                priority, eyesight, alive, rec_vel, packed_t, bucket_pos,
+                vel, spill_capacity, interpret=interpret,
+                int_prio=int_prio, packed_T=packed_T, tile_xy=tile_xy,
+            )
         pack_over = dropped - n_bucket_over  # pack-kernel window overflow
         dropped = (unresolved + pack_over).astype(jnp.int32)
     return vel, max_occ, dropped

@@ -4,8 +4,9 @@ grid_pallas must be indistinguishable from brute for any legal config).
 
 The randomized sweep at the bottom is the VERDICT-r4 differential fuzz:
 seeded random scenes x random CONFIGS (bucket geometry, presort, pack
-kernel, spill capacity, commit_preferred_vel, integer_priorities,
-sources, despawn churn, per-step vs scanned-rollout driver) asserting
+kernel, spill capacity, fused vs patch spill repair,
+commit_preferred_vel, integer_priorities, sources, despawn churn,
+per-step vs scanned-rollout driver) asserting
 grid_pallas == brute within f32 summation-order tolerance in interpret
 mode.  The presort-sentinel and halo-frame bugs of rounds 2-3 were the
 kind only randomized configs catch (both got past the deterministic
@@ -153,6 +154,9 @@ def _random_config(rng, backend):
         # Spill capacity >= capacity: overflow is always repaired
         # EXACTLY, so brute parity holds even when buckets overflow.
         spill_capacity=int(rng.choice([64, 128])),
+        # Randomly exercise both repair paths (fused fourth-segment vs
+        # the spill_patch window recompute).
+        fused_spills=bool(rng.random() < 0.5),
         commit_preferred_vel=bool(rng.random() < 0.5),
         integer_priorities=bool(rng.random() < 0.5),
         pallas_interpret=True,
