@@ -132,8 +132,13 @@ class SimConfig:
     # f32 force sums append spill addends after the window lanes (the
     # patch's recompute order differed too — same tolerance class).
     # Spill storms past the fused segment fall back to the full patch.
-    # False restores the patch for every spill.
-    fused_spills: bool = True
+    # DEFAULT OFF: in the full production step the patch hides almost
+    # entirely under XLA's kernel overlap, while the fused path puts
+    # spill discovery on the kernel's critical path — measured 60.8 vs
+    # 56.7 ms/step at 1M (DESIGN_NOTES round-5 post-mortem).  The fused
+    # path wins standalone and remains available for spill-heavy
+    # mid-range scenes.
+    fused_spills: bool = False
     # Keep agent state tile-sorted across steps (grid_pallas backend
     # only): each step re-sorts the whole SoA state by supertile with ONE
     # lax.sort-with-payloads (~30 ms at 1M), letting bucketize skip its

@@ -593,7 +593,7 @@ def build_step(
                         dual_row=getattr(config, "dual_row", False),
                         binning=binning,
                         fused_spills=getattr(config, "fused_spills",
-                                             True),
+                                             False),
                     )
                     max_occ = jnp.maximum(max_occ, occ)
                     truncated = truncated + dropped

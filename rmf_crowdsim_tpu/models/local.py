@@ -410,7 +410,7 @@ class Zanlungo(LocalPlanner):
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
                    presorted: bool = False, int_prio: bool = False,
                    dual_row: bool = False, binning=None,
-                   fused_spills: bool = True):
+                   fused_spills: bool = False):
         """Fused neighbor-search + force Pallas kernel path (the
         grid_pallas backend; ops/zanlungo_pallas.py).  With ``world_mesh``,
         the kernel runs domain-decomposed over the mesh's world columns

@@ -653,7 +653,8 @@ def _make_kernel(cfg: BucketConfig,
                  compact_pass2: bool = True,
                  int_prio: bool = False,
                  dual_row: bool = False,
-                 spill_lanes: int = 0):
+                 spill_lanes: int = 0,
+                 unroll: int = 1):
     strip, qb, B = cfg.strip_tiles, cfg.sub_tiles, cfg.bucket
     q_len = strip * B
     sub_q = qb * B
@@ -1314,7 +1315,21 @@ def _make_kernel(cfg: BucketConfig,
             else:
                 tier_section(segs3)
 
-        jax.lax.fori_loop(0, nsub, sub_block, 0)
+        # ``unroll=2`` places TWO independent sub-block bodies in one
+        # loop iteration: their dependency chains are disjoint (separate
+        # windows, unions, matmuls, output rows), giving Mosaic's
+        # scheduler MXU work of one block to overlap with VPU work of
+        # the other.  The round-2 full 48x unroll was icache-bound
+        # (DESIGN_NOTES "settled"); 2x is the measured middle ground.
+        if unroll == 2 and nsub % 2 == 0:
+            def sub_block2(i, _):
+                sub_block(2 * i, 0)
+                sub_block(2 * i + 1, 0)
+                return 0
+
+            jax.lax.fori_loop(0, nsub // 2, sub_block2, 0)
+        else:
+            jax.lax.fori_loop(0, nsub, sub_block, 0)
 
     if spill_lanes:
         def kernel(zp_ref, cnt_ref, sflag_ref, packed_any, qt_ref,
@@ -1336,7 +1351,8 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
                              int_prio: bool = False,
                              packed_T=None,
                              dual_row: bool = False,
-                             spill_ext=None):
+                             spill_ext=None,
+                             unroll: int = 1):
     """Run the kernel over the packed array.
 
     zparams4: [5] f32 — (agent_scale, force_distance, agent_mass,
@@ -1360,6 +1376,7 @@ def zanlungo_forces_bucketed(cfg: BucketConfig, zparams4, packed_t,
         cfg, compact_pass2=compact_pass2, int_prio=int_prio,
         dual_row=dual_row,
         spill_lanes=0 if spill_ext is None else spill_ext[1].shape[1],
+        unroll=unroll,
     )
     n_strips = cfg.ty // cfg.strip_tiles
 
@@ -2091,7 +2108,7 @@ def zanlungo_fused(cfg: BucketConfig, zp, position, velocity, self_pref,
                    interpret: bool = False, use_pack_kernel: bool = False,
                    spill_capacity: int = 0, presorted: bool = False,
                    int_prio: bool = False, binning=None,
-                   dual_row: bool = False, fused_spills: bool = True):
+                   dual_row: bool = False, fused_spills: bool = False):
     """Full fused pass: bucketize -> kernel -> unbucketize.
 
     Signature mirrors models/local.py zanlungo_velocity (minus the
