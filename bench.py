@@ -62,15 +62,15 @@ def _bench_config(n_agents: int, dtype: str = "float32",
         # bucketize's argsort + feature gather + inverse scatter, makes
         # the unbucketize gather monotone, and enables the skin-deferred
         # sort (core/step.py skin_mode).
-        presort=(backend == "grid_pallas"),
+        presort=(backend in ("grid_pallas", "grid_dense")),
         # Bench priorities are the default agent uids (integers), so the
         # kernel may drop the right-of-way sqrt + slerp asin/sin
         # (ops/zanlungo_pallas._pair_force int_prio).
-        integer_priorities=(backend == "grid_pallas"),
+        integer_priorities=(backend in ("grid_pallas", "grid_dense")),
         # Dual-row compacted tier: ~99.9% of sub-blocks fit two 64-lane
         # half-unions at this density (perf/dualrow_ab.py: 44.0 vs 45.4
         # ms kernel-only at 1M); tolerance-level output differences.
-        dual_row=(backend == "grid_pallas"),
+        dual_row=(backend in ("grid_pallas", "grid_dense")),
         dtype=dtype,
     )
 
@@ -414,7 +414,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="skip the secondary configs")
     ap.add_argument("--backend", default=None,
-                    help="neighbor backend (grid_pallas | grid | brute)")
+                    help="neighbor backend "
+                         "(grid_pallas | grid_dense | grid | brute)")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform

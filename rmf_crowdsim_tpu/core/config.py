@@ -24,6 +24,12 @@ import jax.numpy as jnp
 BACKEND_BRUTE = "brute"
 BACKEND_GRID = "grid"
 BACKEND_GRID_PALLAS = "grid_pallas"
+# Dense (bucket-free) fused kernel (ops/zanlungo_dense.py): the
+# tile-SORTED rows themselves are the layout — no per-tile buckets, no
+# pack, no spill machinery.  Implies ``presort`` (the layout IS the
+# sorted order).  Single-chip only (the multi-chip engines keep the
+# bucketed layout).
+BACKEND_GRID_DENSE = "grid_dense"
 # User-supplied backend: the TPU-native analog of implementing the
 # reference's SpatialIndex trait (spatial_index.rs:4-14).  Instead of a
 # stateful add_or_update/query object, a custom backend is a pure
@@ -116,6 +122,13 @@ class SimConfig:
     # Use the MXU one-hot pack kernel instead of the XLA row scatter when
     # building the bucketed layout (ops/pack_pallas.py).
     use_pack_kernel: bool = False
+    # --- grid_dense backend tuning (ops/zanlungo_dense.py) ---------------
+    # Static per-column row capacity = (uniform per-column mean) *
+    # headroom, rounded up to 128.  Columns holding more agents drop the
+    # surplus loudly (neighbor_truncated; raise-by-default) — the dense
+    # engine's one capacity narrowing.  2.0 is a >=40-sigma Poisson bound
+    # at 1M agents; raise it for clustered worlds.
+    dense_col_headroom: float = 2.0
     # Exact repair of bucket overflow (ops/zanlungo_pallas.spill_patch):
     # per overflow agent ("spill"), its whole 3x3 tile neighborhood is
     # recomputed exactly on the XLA side against its 5x5 packed window +
@@ -223,6 +236,9 @@ class SimConfig:
             return self.max_per_cell
         if self.neighbor_backend == BACKEND_GRID_PALLAS:
             return self.bucket_capacity
+        # grid_dense has no per-tile cap; truncation there is column-
+        # capacity overflow (dense_col_headroom), still surfaced through
+        # neighbor_truncated.
         return 0
 
     @property
@@ -234,6 +250,7 @@ class SimConfig:
             BACKEND_BRUTE,
             BACKEND_GRID,
             BACKEND_GRID_PALLAS,
+            BACKEND_GRID_DENSE,
             BACKEND_CUSTOM,
         ):
             raise ValueError(f"unknown neighbor backend {self.neighbor_backend!r}")

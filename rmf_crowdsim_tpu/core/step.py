@@ -48,6 +48,7 @@ from .config import (
     BACKEND_BRUTE,
     BACKEND_CUSTOM,
     BACKEND_GRID,
+    BACKEND_GRID_DENSE,
     BACKEND_GRID_PALLAS,
     SimConfig,
 )
@@ -449,18 +450,36 @@ def build_step(
                     bucket_cfg, tx=(bucket_cfg.tx // d + 1) * d
                 )
 
-    # Tile-sorted state (see the presort block in step()): grid_pallas
-    # only, and not under domain decomposition (the mesh path keeps its
-    # own per-shard ordering).
+    dense_cfg = None
+    if config.neighbor_backend == BACKEND_GRID_DENSE:
+        from ..ops.zanlungo_dense import DenseConfig
+
+        if world_mesh is not None:
+            raise ValueError(
+                "grid_dense is single-chip only; use grid_pallas with a "
+                "world_mesh or the world-sharded engine"
+            )
+        dense_cfg = DenseConfig.create(
+            config.grid.width, config.grid.height, config.grid.offset,
+            config.max_eyesight, config.capacity,
+            tile_size=config.bucket_tile_size or None,
+            col_headroom=config.dense_col_headroom,
+        )
+
+    # Tile-sorted state (see the presort block in step()): grid_pallas /
+    # grid_dense only, and not under domain decomposition (the mesh path
+    # keeps its own per-shard ordering).  The dense layout IS the sorted
+    # order, so grid_dense implies presort.
     presort = bool(
-        getattr(config, "presort", False)
-        and bucket_cfg is not None
+        (getattr(config, "presort", False) or dense_cfg is not None)
+        and (bucket_cfg is not None or dense_cfg is not None)
         and world_mesh is None
     )
+    sort_cfg = dense_cfg if dense_cfg is not None else bucket_cfg
     skin_margin = 0.0
-    if bucket_cfg is not None:
+    if sort_cfg is not None:
         skin_margin = (
-            float(bucket_cfg.tile_size) - float(config.max_eyesight)
+            float(sort_cfg.tile_size) - float(config.max_eyesight)
         ) / 2.0
     skin_mode = bool(skin_mode and presort and skin_margin > 0.0)
 
@@ -483,7 +502,7 @@ def build_step(
         (sorted state, sorted spawned mask, sorted tile keys)."""
         from ..ops.zanlungo_pallas import tile_key
 
-        tkey = tile_key(bucket_cfg, state.position, state.alive)
+        tkey = tile_key(sort_cfg, state.position, state.alive)
         st, spwn, key_s = payload_sort_by_key(state, tkey, spawned)
         return st, spwn, key_s
 
@@ -519,6 +538,7 @@ def build_step(
         # packs +1-BIASED into 9 bits — OR-ing a raw -1 would set
         # every bit and resurrect dead slots as alive.
         binning = None
+        dense_key = None
         skin_out = None
         if skin_mode:
             # Skin-deferred presort: reuse the carried sort order AND
@@ -541,7 +561,15 @@ def build_step(
             def _do_sort(op):
                 st, spwn = op
                 st2, spwn2, tkey2 = _presort_state(st, spwn)
-                bpos, occ, nover = rank_from_sorted_key(bucket_cfg, tkey2)
+                if dense_cfg is not None:
+                    # The dense kernel derives its own tables from the
+                    # sorted keys each step; only the key is carried.
+                    bpos = jnp.zeros((n,), jnp.int32)
+                    occ = jnp.zeros((), jnp.int32)
+                    nover = jnp.zeros((), jnp.int32)
+                else:
+                    bpos, occ, nover = rank_from_sorted_key(
+                        bucket_cfg, tkey2)
                 return (st2, spwn2, tkey2, bpos, occ, nover,
                         st2.position)
 
@@ -553,10 +581,11 @@ def build_step(
             (state, spawned, tkey_c, bpos_c, occ_c, nover_c, ref_c
              ) = jax.lax.cond(need, _do_sort, _reuse, (state, spawned))
             binning = (tkey_c, bpos_c, occ_c, nover_c)
+            dense_key = tkey_c
             skin_out = dict(key=tkey_c, bpos=bpos_c, max_occ=occ_c,
                             n_over=nover_c, ref=ref_c, resorted=need)
         elif presort:
-            state, spawned, _ = _presort_state(state, spawned)
+            state, spawned, dense_key = _presort_state(state, spawned)
 
         # ---- Phase B: planners (post-spawn, step-start state) ----------
         vel, self_pref, state = _hl_phase(config, hl_planners, params, state)
@@ -570,9 +599,12 @@ def build_step(
         if lp_planners:
             nbr = None
             use_fused = bucket_cfg is not None
+            use_dense = dense_cfg is not None
             need_nbr = any(
                 getattr(p, "needs_neighbors", True)
-                and not (use_fused and hasattr(p, "plan_fused"))
+                and not ((use_fused and hasattr(p, "plan_fused"))
+                         or (use_dense
+                             and hasattr(p, "plan_fused_dense")))
                 for p in lp_planners
             )
             if need_nbr:
@@ -580,7 +612,18 @@ def build_step(
                 max_occ = nbr.max_cell_occupancy
                 truncated = truncated + nbr.truncated
             for i, planner in enumerate(lp_planners):
-                if use_fused and hasattr(planner, "plan_fused"):
+                if use_dense and hasattr(planner, "plan_fused_dense"):
+                    v, occ, dropped = planner.plan_fused_dense(
+                        params.lp[i], dense_cfg, state, vel, self_pref,
+                        dense_key,
+                        interpret=config.pallas_interpret,
+                        int_prio=getattr(config, "integer_priorities",
+                                         False),
+                        dual_row=getattr(config, "dual_row", False),
+                    )
+                    max_occ = jnp.maximum(max_occ, occ)
+                    truncated = truncated + dropped
+                elif use_fused and hasattr(planner, "plan_fused"):
                     v, occ, dropped = planner.plan_fused(
                         params.lp[i], bucket_cfg, state, vel, self_pref,
                         interpret=config.pallas_interpret,

@@ -405,6 +405,26 @@ class Zanlungo(LocalPlanner):
         )
         return out.reshape(np_, 2)[:n]
 
+    def plan_fused_dense(self, params, dense_cfg, state: SimState,
+                         rec_vel, self_pref, key_sorted,
+                         interpret: bool = False, int_prio: bool = False,
+                         dual_row: bool = True):
+        """Dense (bucket-free) fused kernel path (the grid_dense
+        backend; ops/zanlungo_dense.py).  ``key_sorted`` [N] int32 is
+        the rows' tile keys in sorted order — the presorted step's
+        invariant (fresh or carried; core/step.py).  Returns
+        (vel [N,2], max_tile_occupancy, dropped); ``dropped`` counts
+        column-capacity overflow (the engine's one narrowing,
+        raise-by-default via neighbor_truncated)."""
+        from ..ops.zanlungo_dense import zanlungo_fused_dense
+
+        return zanlungo_fused_dense(
+            dense_cfg, params, state.position, state.velocity, self_pref,
+            state.preferred_vel, state.priority, state.eyesight,
+            state.alive, rec_vel, key_sorted, interpret=interpret,
+            int_prio=int_prio, dual_row=dual_row,
+        )
+
     def plan_fused(self, params, bucket_cfg, state: SimState, rec_vel,
                    self_pref, interpret: bool = False, world_mesh=None,
                    use_pack_kernel: bool = False, spill_capacity: int = 0,
