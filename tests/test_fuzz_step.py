@@ -147,6 +147,9 @@ def _random_config(rng, backend):
         bucket_capacity=bucket,
         strip_tiles=strip,
         sub_tiles=sub,
+        # For grid_dense this doubles as the dense tile size (> eyesight
+        # activates the skin-deferred carried sort under scanned
+        # rollouts).
         bucket_tile_size=(0.0 if rng.random() < 0.5
                           else eye * float(rng.uniform(1.0, 1.7))),
         use_pack_kernel=bool(rng.random() < 0.5),
@@ -157,6 +160,13 @@ def _random_config(rng, backend):
         # Randomly exercise both repair paths (fused fourth-segment vs
         # the spill_patch window recompute).
         fused_spills=bool(rng.random() < 0.5),
+        # Dual-row compacted tier (the production bench setting) vs the
+        # shared-union-only dispatch.
+        dual_row=bool(rng.random() < 0.5),
+        # grid_dense: col_cap headroom floor (256 rows) always covers the
+        # 64-agent scenes, so overflow can't fire here; on_truncation
+        # would surface it loudly if it ever did.
+        dense_col_headroom=float(rng.uniform(1.5, 2.5)),
         commit_preferred_vel=bool(rng.random() < 0.5),
         integer_priorities=bool(rng.random() < 0.5),
         pallas_interpret=True,
@@ -195,11 +205,11 @@ def _random_scene(sim, rng, world, eye, hl, lp):
         ))
 
 
-def _build_pair(seed):
-    """Two sims (brute oracle / grid_pallas) of the SAME random scene and
-    the SAME random grid_pallas-side knobs; returns (sims, rng, meta)."""
+def _build_pair(seed, fast_backend="grid_pallas"):
+    """Two sims (brute oracle / fast backend) of the SAME random scene
+    and the SAME random fast-side knobs; returns (sims, rng)."""
     rng = np.random.default_rng(10_000 + seed)
-    cfg_gp, world, eye = _random_config(rng, "grid_pallas")
+    cfg_gp, world, eye = _random_config(rng, fast_backend)
     import dataclasses
     cfg_br = dataclasses.replace(cfg_gp, neighbor_backend="brute")
     hl = ParityVelocity((float(rng.uniform(0.5, 1.3)),
@@ -211,7 +221,7 @@ def _build_pair(seed):
                   agent_radius=float(rng.uniform(0.15, 0.35)),
                   force_cap=float(rng.uniform(20.0, 200.0)))
     sims = {}
-    for name, cfg in (("brute", cfg_br), ("grid_pallas", cfg_gp)):
+    for name, cfg in (("brute", cfg_br), (fast_backend, cfg_gp)):
         scene_rng = np.random.default_rng(20_000 + seed)
         sim = Simulation(cfg, seed=seed)
         _random_scene(sim, scene_rng, world, eye, hl, lp)
@@ -235,9 +245,7 @@ def _assert_match(pa, pb, label):
             err_msg=f"{label}: agent {k}")
 
 
-@pytest.mark.parametrize("seed", list(range(24)))
-def test_randomized_config_sweep(seed):
-    sims, rng = _build_pair(seed)
+def _run_sweep(sims, rng, fast):
     dt = float(rng.uniform(0.12, 0.28))
     use_run = rng.random() < 0.35  # scanned rollout (skin-presort path)
     if use_run:
@@ -246,25 +254,41 @@ def test_randomized_config_sweep(seed):
         for field in ("n_alive", "n_spawned", "n_destroyed",
                       "n_waypoint_reached"):
             np.testing.assert_array_equal(
-                np.asarray(getattr(counters["grid_pallas"], field)),
+                np.asarray(getattr(counters[fast], field)),
                 np.asarray(getattr(counters["brute"], field)),
                 err_msg=f"rollout counter {field}")
         _assert_match(_positions(sims["brute"]),
-                      _positions(sims["grid_pallas"]),
+                      _positions(sims[fast]),
                       f"after run({n_steps})")
     else:
         for step in range(8):
             for sim in sims.values():
                 sim.step(dt)
             _assert_match(_positions(sims["brute"]),
-                          _positions(sims["grid_pallas"]),
+                          _positions(sims[fast]),
                           f"step {step}")
             # Despawn churn: remove one common alive agent every 3rd
             # step (host-level remove_agents, lib.rs:176-192).
             if step % 3 == 2:
                 common = sorted(set(_positions(sims["brute"]))
-                                & set(_positions(sims["grid_pallas"])))
+                                & set(_positions(sims[fast])))
                 if common:
                     victim = common[int(rng.integers(0, len(common)))]
                     for sim in sims.values():
                         sim.remove_agents(victim)
+
+
+@pytest.mark.parametrize("seed", list(range(24)))
+def test_randomized_config_sweep(seed):
+    sims, rng = _build_pair(seed)
+    _run_sweep(sims, rng, "grid_pallas")
+
+
+@pytest.mark.parametrize("seed", list(range(12)))
+def test_randomized_config_sweep_dense(seed):
+    """The same differential sweep against the dense (bucket-free)
+    kernel backend: random tile size (> eyesight activates the carried
+    skin sort), dual_row, integer priorities, col_headroom, sources,
+    despawn churn, per-step vs scanned-rollout driver."""
+    sims, rng = _build_pair(seed, fast_backend="grid_dense")
+    _run_sweep(sims, rng, "grid_dense")
