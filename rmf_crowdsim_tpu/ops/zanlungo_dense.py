@@ -706,13 +706,58 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
                 def _not_dual():
                     shared_tier()
 
+            def _wide_segs():
+                """Three 256-lane window segments for tier B (128 <
+                m_ext <= 256): a 384-lane read from the 128-aligned
+                base (in bounds: align128(loc) + 384 <= ext_strip, the
+                slack DenseConfig.ext_strip provides), rolled so lane 0
+                == the window start, truncated to 256 lanes."""
+                segs = []
+                for k in range(3):
+                    loc = locs[k]
+                    # Extra clamp vs tier A: locs is clipped to
+                    # ext_strip - 256, so a column-overflow loc can sit
+                    # past ext_strip - 384; clamp the base so the read
+                    # stays in bounds (overflow scenes raise at the
+                    # host through n_col_over anyway — when it is 0 the
+                    # clamp never binds and sh < 128, so sh + ext <=
+                    # 383 and the rolled window is exact).
+                    loc_al = pl.multiple_of(
+                        jnp.minimum((loc // 128) * 128,
+                                    jnp.int32(ext_strip - 384)), 128)
+                    sh = loc - loc_al
+                    w = read_win(k, loc_al, 384)
+                    w = pltpu.roll(
+                        w, jax.lax.rem(jnp.int32(384) - sh,
+                                       jnp.int32(384)), axis=1,
+                    )[:, :2 * _C]
+                    ok = (
+                        (lane_iota2 < exts[k])
+                        & (w[ROW_ID:ROW_ID + 1, :] >= 0)
+                        & k_ok[k]
+                    )
+                    segs.append((w, ok))
+                return segs
+
             def _sweep():
-                """Exact fallback for window extents past 128 lanes
-                (dense hotspots): scan ALL THREE whole column strips in
+                """Exact fallback for window extents past 256 lanes
+                (extreme hotspots): scan each strip's window range in
                 256-lane chunks — min-TTC pass, then force pass.  The
+                chunk loops are BOUNDED to the window's aligned span
+                (the unbounded whole-strip version cost ~20% of the
+                kernel at a 0.1% firing rate, perf/dense_stats.py);
                 window bounds [loc, loc + ext) are applied as lane
                 masks, so coverage is exact for ANY extent <= col_cap
                 (the dense analog of the bucketed spill fallback)."""
+                bounds = []
+                for k in range(3):
+                    j_lo = locs[k] // _WIN
+                    j_hi = jnp.minimum(
+                        (locs[k] + exts[k] + _WIN - 1) // _WIN,
+                        jnp.int32(n_sweep),
+                    )
+                    live = jnp.asarray(k_ok[k]) & (exts[k] > 0)
+                    bounds.append((j_lo, jnp.where(live, j_hi, j_lo)))
 
                 def chunk_mask(k, j):
                     gl = lane_iota2 + j * _WIN
@@ -721,8 +766,8 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
                         & k_ok[k]
                     )
 
-                def ttc_chunk(j, t_i):
-                    for k in range(3):
+                def ttc_chunk(k):
+                    def body(j, t_i):
                         j0 = pl.multiple_of(j * _WIN, _WIN)
                         w = read_win(k, j0, _WIN)
                         ok = (chunk_mask(k, j)
@@ -739,18 +784,18 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
                             w[ROW_VX:ROW_VX + 1], w[ROW_VY:ROW_VY + 1],
                             cpx_, cpy_, radius)
                         ttc = jnp.where(mask, ttc, inf)
-                        t_i = jnp.minimum(
+                        return jnp.minimum(
                             t_i, jnp.min(ttc, axis=1, keepdims=True))
-                    return t_i
+                    return body
 
-                t_i = jax.lax.fori_loop(
-                    0, n_sweep, ttc_chunk,
-                    jnp.full((SUB_Q, 1), inf, jnp.float32),
-                )
+                t_i = jnp.full((SUB_Q, 1), inf, jnp.float32)
+                for k in range(3):
+                    t_i = jax.lax.fori_loop(
+                        bounds[k][0], bounds[k][1], ttc_chunk(k), t_i)
 
-                def force_chunk(j, acc):
-                    fx, fy = acc
-                    for k in range(3):
+                def force_chunk(k):
+                    def body(j, acc):
+                        fx, fy = acc
                         j0 = pl.multiple_of(j * _WIN, _WIN)
                         w = read_win(k, j0, _WIN)
                         ok = (chunk_mask(k, j)
@@ -773,14 +818,15 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
                         )
                         fx = fx + jnp.sum(pfx, axis=1, keepdims=True)
                         fy = fy + jnp.sum(pfy, axis=1, keepdims=True)
-                    return (fx, fy)
+                        return (fx, fy)
+                    return body
 
-                fx, fy = jax.lax.fori_loop(
-                    0, n_sweep, force_chunk,
-                    (jnp.zeros((SUB_Q, 1), jnp.float32),
-                     jnp.zeros((SUB_Q, 1), jnp.float32)),
-                )
-                write_out(t_i, fx, fy)
+                acc = (jnp.zeros((SUB_Q, 1), jnp.float32),
+                       jnp.zeros((SUB_Q, 1), jnp.float32))
+                for k in range(3):
+                    acc = jax.lax.fori_loop(
+                        bounds[k][0], bounds[k][1], force_chunk(k), acc)
+                write_out(t_i, acc[0], acc[1])
 
             # ---- tier dispatch -------------------------------------
             # A: every window fits one rolled 128-lane segment (the
@@ -788,7 +834,12 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
             #    tiles) * occupancy — DenseConfig.create's sizing), and
             #    the standard compacted-tier machinery runs at the
             #    bucketed kernel's exact 3x128 shapes.
-            # C: rare dense-hotspot tail — exact full-column sweep.
+            # B: 128 < m_ext <= 256 — direct evaluation of the three
+            #    raw 256-lane windows (no compaction).  The hotspot
+            #    tail is almost entirely here (m_ext p99.9 = 130 at
+            #    the bench density, max 145-235 — perf/dense_stats.py),
+            #    at ~2x a tier-A pass instead of the sweep's ~10x.
+            # C: extreme dense-hotspot tail — exact bounded sweep.
             @pl.when(m_ext <= _C)
             def _tier_a():
                 segs = []
@@ -809,7 +860,11 @@ def _make_dense_kernel(cfg: DenseConfig, int_prio: bool = False,
                     segs.append((w, ok))
                 _tiers(segs)
 
-            @pl.when(m_ext > _C)
+            @pl.when((m_ext > _C) & (m_ext <= 2 * _C))
+            def _tier_b():
+                full_passes(_wide_segs())
+
+            @pl.when(m_ext > 2 * _C)
             def _tier_c():
                 _sweep()
 

@@ -102,7 +102,7 @@ def test_dense_dual_vs_shared(seed):
 
 def test_dense_sweep_tier_hotspot():
     """A dense cluster pushes window extents past 128 lanes: the
-    affected sub-blocks must take the exact full-column sweep (tier C)
+    affected sub-blocks must take the direct 256-lane tier (tier B)
     and still match the oracle.  ~200 agents inside one tile makes every
     window over the cluster ~200 lanes wide."""
     rng = np.random.default_rng(5)
@@ -125,6 +125,39 @@ def test_dense_sweep_tier_hotspot():
     )
     cfg = DenseConfig.create(world, world, (0.0, 0.0), 3.0, capacity=n,
                              col_headroom=8.0)  # cluster-heavy columns
+    zp = make_params()
+    got, want, alive, _, _, dropped = run_dense(cfg, zp, scene)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_dense_sweep_tier_extreme_hotspot():
+    """A >400-agent cluster pushes window extents past 256 lanes: the
+    affected sub-blocks must take the exact BOUNDED sweep (tier C) and
+    still match the oracle — including queries whose window starts at a
+    non-chunk-aligned offset (the bounded chunk loop must cover the
+    whole [loc, loc + ext) range, not just aligned prefixes)."""
+    rng = np.random.default_rng(11)
+    world = 30.0
+    n_c, n_u = 430, 140
+    pos = np.concatenate([
+        rng.uniform(12.0, 15.0, (n_c, 2)),       # one-tile mega-cluster
+        rng.uniform(0.0, world, (n_u, 2)),
+    ]).astype(np.float32)
+    n = n_c + n_u
+    vel = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    scene = (
+        jnp.asarray(pos), jnp.asarray(vel),
+        jnp.asarray(rng.uniform(-2, 2, (n, 2)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-2, 2, (n, 2)).astype(np.float32)),
+        jnp.asarray(rng.permutation(n).astype(np.float32)),
+        jnp.full((n,), 3.0, jnp.float32),
+        jnp.ones((n,), bool),
+        jnp.asarray(rng.uniform(-2, 2, (n, 2)).astype(np.float32)),
+    )
+    cfg = DenseConfig.create(world, world, (0.0, 0.0), 3.0, capacity=n,
+                             col_headroom=8.0)
     zp = make_params()
     got, want, alive, _, _, dropped = run_dense(cfg, zp, scene)
     assert int(dropped) == 0
