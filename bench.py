@@ -476,6 +476,15 @@ def main():
                 )
             except Exception as e:
                 extra["multichip_shard_proxy_tolerance"] = f"failed: {e!r}"
+            # The D where the tolerance-mode ladder crosses >100 steps/s
+            # (halo fraction 21% — see DESIGN_NOTES high-D table).
+            try:
+                extra["multichip_shard_proxy_tolerance_d16"] = (
+                    time_shard_proxy(d=16, invariance="tolerance")
+                )
+            except Exception as e:
+                extra["multichip_shard_proxy_tolerance_d16"] = \
+                    f"failed: {e!r}"
         try:
             rmf_sps, rmf_host = time_rmf_routing()
             extra["steps_per_sec_rmf10k"] = round(rmf_sps, 1)
